@@ -1,0 +1,113 @@
+"""joi_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch re-imagining of the reference validator's chainable schema
+surface (reference: yabin45/joi @ /root/reference, lib/index.js:19-59) as
+a declarative constraint DSL compiled to vectorized Spark SQL predicates.
+One schema validates one table: columns are the object's keys; output is
+(converted table, violation rows, per-partition verdicts, column stats).
+
+    import joi_spark as joi
+
+    schema = joi.object({
+        "conv_id": joi.string().required(),
+        "turn_idx": joi.number().integer().min(0).required(),
+        "role": joi.string().valid("system", "user", "assistant", "tool").required(),
+        "text": joi.string().max(8192),
+    }).with_("tool", ["role"])
+
+    result = joi.validate(df, schema)
+    result.violations().show()
+    result.verdicts(["epoch"]).show()
+"""
+
+from __future__ import annotations
+
+from joi_spark.dsl.base import Schema
+from joi_spark.dsl.compile_literal import compile_literal as compile  # noqa: A001
+from joi_spark.dsl.manifest import build, manifest_hash, manifest_json
+from joi_spark.dsl.objects import AlternativesSchema, ObjectSchema
+from joi_spark.dsl.ref import Ref, is_ref, ref
+from joi_spark.dsl.types import (AnySchema, ArraySchema, BinarySchema,
+                                 BooleanSchema, DateSchema, NumberSchema,
+                                 StringSchema)
+from joi_spark.engine import (TableValidationError, ValidationResult,
+                              assert_table, validate)
+
+__version__ = "0.1.0"
+
+
+# type factories (reference: lib/index.js:44-50)
+def any_() -> AnySchema:
+    return AnySchema()
+
+
+def string() -> StringSchema:
+    return StringSchema()
+
+
+def number() -> NumberSchema:
+    return NumberSchema()
+
+
+def boolean() -> BooleanSchema:
+    return BooleanSchema()
+
+
+bool_ = boolean
+
+
+def date() -> DateSchema:
+    return DateSchema()
+
+
+def array() -> ArraySchema:
+    return ArraySchema()
+
+
+def binary() -> BinarySchema:
+    return BinarySchema()
+
+
+def object(keys: dict | None = None) -> ObjectSchema:
+    s = ObjectSchema()
+    if keys is not None:
+        s = s.keys(keys)
+    return s
+
+
+def alternatives(*schemas) -> AlternativesSchema:
+    s = AlternativesSchema()
+    if schemas:
+        s = s.try_(*schemas)
+    return s
+
+
+def is_schema(v) -> bool:
+    return isinstance(v, Schema)
+
+
+# shortcuts on any (reference: lib/index.js:54-59)
+def required() -> AnySchema:
+    return AnySchema().required()
+
+
+def forbidden() -> AnySchema:
+    return AnySchema().forbidden()
+
+
+def valid(*values) -> AnySchema:
+    return AnySchema().valid(*values)
+
+
+def invalid(*values) -> AnySchema:
+    return AnySchema().invalid(*values)
+
+
+__all__ = [
+    "Schema", "Ref", "ref", "is_ref", "is_schema", "compile", "build",
+    "manifest_hash", "manifest_json",
+    "any_", "string", "number", "boolean", "bool_", "date", "array",
+    "binary", "object", "alternatives",
+    "required", "forbidden", "valid", "invalid",
+    "validate", "assert_table", "ValidationResult", "TableValidationError",
+]

@@ -1,0 +1,955 @@
+"""Compile a schema tree into Spark Column expressions.
+
+The analyzed-plan layer: ``compile_table(schema, df)`` walks the DSL tree
+once and emits a :class:`CompiledPlan` — (1) a conversion projection
+(coercions, reference: lib/validator.js:144-158), (2) an ordered list of
+:class:`Check` boolean predicates mirroring the reference's validation
+order (coerce → empty → presence → valids → invalids → base → rules;
+reference: lib/validator.js:112-320), and (3) output shaping (defaults,
+failover, cast, strip; reference: lib/validator.js:351-430).
+
+Everything is built from ``pyspark.sql.functions`` — whole-stage-codegen
+eligible, no per-row Python.  Catalyst constant-folds the trivially-true
+guards and prunes unreferenced columns at the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from joi_spark import errors as E
+from joi_spark.dsl.base import Rule, Schema
+from joi_spark.dsl.objects import Dependency, ObjectSchema
+from joi_spark.dsl.ref import Ref
+from joi_spark.functions import regexes as RX
+
+MAX_SAFE_INTEGER = 2 ** 53 - 1  # reference: lib/types/number.js safe range
+
+DEFAULT_PREFS = {
+    # reference: lib/common.js:20-41 defaults
+    "convert": True,
+    "abort_early": True,
+    "allow_unknown": True,   # differs from Joi (false): at table level extra
+                             # columns are the norm; object().unknown(False)
+                             # restores strict behavior
+    "strip_unknown": False,
+    "presence": "optional",
+    "context": {},
+}
+
+
+@dataclass
+class Check:
+    """One compiled predicate.  ``predicate`` is True when the row PASSES."""
+    seq: int
+    path: str
+    code: str
+    predicate: Column
+    message: Column
+    severity: str = "error"   # 'error' | 'warn'
+
+
+@dataclass
+class CompiledPlan:
+    conversions: dict[str, Column] = field(default_factory=dict)
+    checks: list[Check] = field(default_factory=list)
+    outputs: dict[str, Column] = field(default_factory=dict)  # post-validate shaping
+    drops: list[str] = field(default_factory=list)
+    renames: list[tuple[str, str]] = field(default_factory=list)
+    table_errors: list[str] = field(default_factory=list)  # schema-level verdicts
+
+    def ok_column(self) -> Column:
+        """Conjunction of all error-severity checks (warnings excluded)."""
+        ok = F.lit(True)
+        for c in self.checks:
+            if c.severity == "error":
+                ok = ok & c.predicate
+        return ok
+
+
+class CompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+
+class _Ctx:
+    def __init__(self, columns: list[str], conversions: dict[str, Column],
+                 prefs: dict, context: dict):
+        self.columns = columns
+        self.conversions = conversions   # converted sibling exprs (shadow
+                                         # semantics, lib/validator.js:414-418)
+        self.prefs = prefs
+        self.context = context
+        self.seq = 0
+
+    def next_seq(self) -> int:
+        self.seq += 1
+        return self.seq
+
+    def resolve(self, v):
+        """Limit/value → Column (refs see converted siblings)."""
+        if isinstance(v, Ref):
+            if v.kind == "global":
+                return F.lit(self.context.get(v.key))
+            if v.key in self.conversions:
+                return self.conversions[v.key]
+            return F.col(v.key)
+        return F.lit(v)
+
+    def display(self, v) -> Any:
+        return v.display if isinstance(v, Ref) else v
+
+
+def _label(schema: Schema, path: str) -> str:
+    # reference: lib/errors.js:87-108 — label flag, else path, else 'value'
+    return schema._flags.get("label") or path or "value"
+
+
+def _is_string_like(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.StringType)
+
+
+# --- string rule predicates -------------------------------------------------
+
+def _string_rule(rule: Rule, col: Column, ctx: _Ctx, label: str,
+                 overrides: dict) -> list[tuple[Column, str, dict]]:
+    """Return [(ok_predicate, code, message_ctx)] for one string rule."""
+    a = rule.args
+    out: list[tuple[Column, str, dict]] = []
+    name = rule.name
+
+    def length_col(encoding):
+        return F.octet_length(col) if encoding == "utf8" else F.length(col)
+
+    if name in ("min", "max", "length"):
+        limit = ctx.resolve(a["limit"])
+        lc = length_col(a.get("encoding"))
+        pred = {"min": lc >= limit, "max": lc <= limit, "length": lc == limit}[name]
+        out.append((pred, f"string.{name}",
+                    {"limit": ctx.display(a["limit"]), "encoding": a.get("encoding")}))
+    elif name == "pattern":
+        regex, invert = a["regex"], a.get("invert", False)
+        pred = col.rlike(regex)
+        if invert:
+            pred = ~pred
+        if a.get("name"):
+            code = f"string.pattern.{'invert.' if invert else ''}name"
+            out.append((pred, code, {"name": a["name"], "regex": f"/{regex}/"}))
+        else:
+            code = f"string.pattern.{'invert.' if invert else ''}base"
+            out.append((pred, code, {"regex": f"/{regex}/"}))
+    elif name == "alphanum":
+        out.append((col.rlike(RX.ALPHANUM), "string.alphanum", {}))
+    elif name == "token":
+        out.append((col.rlike(RX.TOKEN), "string.token", {}))
+    elif name == "case":
+        direction = a["direction"]
+        pred = col == (F.lower(col) if direction == "lower" else F.upper(col))
+        out.append((pred, f"string.{direction}case", {}))
+    elif name == "trim":
+        if a.get("enabled", True):
+            out.append((col == F.trim(col), "string.trim", {}))
+    elif name == "normalize":
+        # checked via pandas UDF only when not in convert mode; in convert
+        # mode the conversion pass normalizes and the check is vacuous
+        from joi_spark.functions.udfs import unicode_normalized_check
+        out.append((unicode_normalized_check(a["form"])(col),
+                    "string.normalize", {"form": a["form"]}))
+    elif name == "base64":
+        key = (a.get("paddingRequired", True), a.get("urlSafe", False))
+        out.append((col.rlike(RX.BASE64[key]), "string.base64", {}))
+    elif name == "dataUri":
+        # outer format, then base64 payload when flagged base64
+        # (reference: lib/types/string/index.js:238-269)
+        fmt_ok = col.rlike(RX.DATA_URI_FORMAT)
+        b64 = F.regexp_extract(col, RX.DATA_URI_FORMAT, 2) == F.lit("base64")
+        payload = F.regexp_extract(col, RX.DATA_URI_FORMAT, 3)
+        pay_ok = F.when(b64, payload.rlike(
+            RX.DATA_URI_BASE64[a.get("paddingRequired", True)])).otherwise(F.lit(True))
+        out.append((fmt_ok & pay_ok, "string.dataUri", {}))
+    elif name == "hex":
+        out.append((col.rlike(RX.HEX), "string.hex", {}))
+        if a.get("byteAligned"):
+            out.append((F.length(col) % 2 == 0, "string.hexAlign", {}))
+    elif name == "email":
+        out.append((col.rlike(RX.EMAIL), "string.email", {}))
+    elif name == "domain":
+        out.append((col.rlike(RX.DOMAIN), "string.domain", {}))
+    elif name == "hostname":
+        pred = (F.length(col) <= 255) & (col.rlike(RX.HOSTNAME) | col.rlike(RX.ip_regex(["ipv4", "ipv6"], "forbidden")))
+        out.append((pred, "string.hostname", {}))
+    elif name == "ip":
+        versions = a.get("version")
+        cidr = a.get("cidr", "optional")
+        regex = RX.ip_regex(versions, cidr)
+        if versions:
+            out.append((col.rlike(regex), "string.ipVersion",
+                        {"version": list(versions), "cidr": cidr}))
+        else:
+            out.append((col.rlike(regex), "string.ip", {"cidr": cidr}))
+    elif name == "uri":
+        scheme = a.get("scheme")
+        regex = RX.uri_regex(scheme,
+                             allow_relative=a.get("allowRelative", False),
+                             relative_only=a.get("relativeOnly", False),
+                             allow_query_square_brackets=a.get("allowQuerySquareBrackets", False))
+        code = "string.uri"
+        mctx: dict = {}
+        if a.get("relativeOnly"):
+            code = "string.uriRelativeOnly"
+        elif scheme:
+            code = "string.uriCustomScheme"
+            mctx = {"scheme": scheme if isinstance(scheme, str) else ", ".join(scheme)}
+        out.append((col.rlike(regex), code, mctx))
+    elif name == "guid":
+        regex = RX.guid_regex(a.get("version"))
+        first, last = F.substring(col, 1, 1), F.substring(col, -1, 1)
+        braces_ok = (
+            (first == F.lit("{")) & (last == F.lit("}"))
+            | (first == F.lit("[")) & (last == F.lit("]"))
+            | (first == F.lit("(")) & (last == F.lit(")"))
+            | ~first.isin("{", "[", "(") & ~last.isin("}", "]", ")"))
+        out.append((col.rlike(regex) & braces_ok, "string.guid", {}))
+    elif name == "creditCard":
+        # Luhn via higher-order aggregate over reversed digit array —
+        # stays in codegen, no UDF (reference: lib/types/string/index.js:211-236)
+        digits = F.reverse(F.split(col, ""))
+        luhn_sum = F.aggregate(
+            F.filter(F.transform(digits, lambda d, i:
+                                 F.when(i % 2 == 1,
+                                        F.when(d.cast("int") * 2 > 9,
+                                               d.cast("int") * 2 - 9)
+                                        .otherwise(d.cast("int") * 2))
+                                 .otherwise(d.cast("int"))),
+                     lambda x: x.isNotNull()),
+            F.lit(0), lambda acc, x: acc + x)
+        pred = col.rlike(r"^\d+$") & (luhn_sum % 10 == 0) & (F.length(col) > 0)
+        out.append((pred, "string.creditCard", {}))
+    elif name == "isoDate":
+        out.append((col.rlike(RX.ISO_DATE), "string.isoDate", {}))
+    elif name == "isoDuration":
+        out.append((col.rlike(RX.ISO_DURATION), "string.isoDuration", {}))
+    elif name == "replace":
+        pass  # convert-only, no check form
+    else:
+        raise CompileError(f"unknown string rule {name!r}")
+    return out
+
+
+# --- number rule predicates ---------------------------------------------
+
+def _number_rule(rule: Rule, col: Column, ctx: _Ctx) -> list[tuple[Column, str, dict]]:
+    a = rule.args
+    name = rule.name
+    if name in ("min", "max", "greater", "less"):
+        limit = ctx.resolve(a["limit"])
+        pred = {"min": col >= limit, "max": col <= limit,
+                "greater": col > limit, "less": col < limit}[name]
+        return [(pred, f"number.{name}", {"limit": ctx.display(a["limit"])})]
+    if name == "integer":
+        return [(col == F.floor(col), "number.integer", {})]
+    if name == "multiple":
+        base = ctx.resolve(a["base"])
+        return [(col % base == 0, "number.multiple",
+                 {"multiple": ctx.display(a["base"])})]
+    if name == "port":
+        return [((col >= 0) & (col <= 65535) & (col == F.floor(col)),
+                 "number.port", {})]
+    if name == "sign":
+        if a["sign"] == "positive":
+            return [(col > 0, "number.positive", {})]
+        return [(col < 0, "number.negative", {})]
+    if name == "precision":
+        limit = a["limit"]
+        return [(col == F.round(col, limit), "number.precision",
+                 {"limit": limit})]
+    raise CompileError(f"unknown number rule {name!r}")
+
+
+# --- date rule predicates --------------------------------------------------
+
+def _date_limit(limit, ctx: _Ctx) -> tuple[Column, Any]:
+    if limit == "now":
+        return F.current_timestamp(), "now"
+    if isinstance(limit, Ref):
+        return ctx.resolve(limit), limit.display
+    return F.lit(limit).cast("timestamp"), limit
+
+
+def _date_rule(rule: Rule, col: Column, ctx: _Ctx) -> list[tuple[Column, str, dict]]:
+    a = rule.args
+    name = rule.name
+    if name in ("min", "max", "greater", "less"):
+        limit_col, display = _date_limit(a["date"], ctx)
+        pred = {"min": col >= limit_col, "max": col <= limit_col,
+                "greater": col > limit_col, "less": col < limit_col}[name]
+        return [(pred, f"date.{name}", {"limit": display})]
+    raise CompileError(f"unknown date rule {name!r}")
+
+
+# --- array rule predicates (ArrayType columns) -----------------------------
+
+def _array_rule(rule: Rule, col: Column, ctx: _Ctx,
+                compile_value_pred) -> list[tuple[Column, str, dict]]:
+    a = rule.args
+    name = rule.name
+    if name in ("min", "max", "length"):
+        limit = ctx.resolve(a["limit"])
+        sz = F.size(col)
+        pred = {"min": sz >= limit, "max": sz <= limit, "length": sz == limit}[name]
+        return [(pred, f"array.{name}", {"limit": ctx.display(a["limit"])})]
+    if name == "unique":
+        return [(F.size(col) == F.size(F.array_distinct(col)),
+                 "array.unique", {})]
+    if name == "sort":
+        order = a.get("order", "ascending")
+        sorted_ = F.array_sort(col)
+        if order == "descending":
+            sorted_ = F.reverse(sorted_)
+        return [(col == sorted_, "array.sort",
+                 {"order": order, "by": ""})]
+    if name == "has":
+        pred_fn = compile_value_pred(a["schema"])
+        return [(F.exists(col, pred_fn), "array.hasUnknown", {})]
+    raise CompileError(f"unknown array rule {name!r}")
+
+
+# --- binary rules ----------------------------------------------------------
+
+def _binary_rule(rule: Rule, col: Column, ctx: _Ctx) -> list[tuple[Column, str, dict]]:
+    a = rule.args
+    limit = ctx.resolve(a["limit"])
+    lc = F.length(col)   # bytes for BinaryType
+    pred = {"min": lc >= limit, "max": lc <= limit, "length": lc == limit}[rule.name]
+    code = {"min": "binary.min", "max": "binary.max", "length": "binary.length"}[rule.name]
+    return [(pred, code, {"limit": ctx.display(a["limit"])})]
+
+
+# ---------------------------------------------------------------------------
+
+def value_predicate(schema: Schema, ctx: _Ctx) -> Callable[[Column], Column]:
+    """Build ``lambda col -> boolean Column``: does a VALUE match the schema?
+
+    Used by empty-matching, assert, when(is=...), alternatives matches, and
+    array items/has — anywhere the reference recurses into a sub-validate
+    whose outcome is only pass/fail (no per-rule reporting).
+    """
+    def pred(col: Column) -> Column:
+        parts: list[Column] = []
+        presence = schema._flags.get("presence")
+        if presence == "required":
+            parts.append(col.isNotNull())
+        if presence == "forbidden":
+            parts.append(col.isNull())
+        if schema._valids:
+            isin = F.lit(False)
+            non_null_vals = [v for v in schema._valids.values if v is not None]
+            if non_null_vals:
+                if schema._flags.get("insensitive") and all(
+                        isinstance(v, str) for v in non_null_vals):
+                    isin = F.lower(col).isin(*[v.lower() for v in non_null_vals])
+                else:
+                    isin = col.isin(*non_null_vals)
+            if None in schema._valids.values:
+                isin = isin | col.isNull()
+            for r in schema._valids.refs:
+                isin = isin | (col == ctx.resolve(r))
+            if schema._flags.get("only", bool(schema._valids)):
+                parts.append(isin)
+        if schema._invalids:
+            bad = F.lit(False)
+            if schema._invalids.values:
+                nn = [v for v in schema._invalids.values if v is not None]
+                if nn:
+                    bad = col.isin(*nn)
+                if None in schema._invalids.values:
+                    bad = bad | col.isNull()
+            for r in schema._invalids.refs:
+                bad = bad | (col == ctx.resolve(r))
+            parts.append(~bad)
+        if schema.type == "string":
+            parts.append(col.cast("string") != F.lit(""))
+            for rule in schema._rules:
+                for p, _, _ in _string_rule(rule, col.cast("string"), ctx, "", {}):
+                    parts.append(p)
+        elif schema.type == "number":
+            c = col.cast("double")
+            parts.append(~F.isnan(c))
+            for rule in schema._rules:
+                for p, _, _ in _number_rule(rule, c, ctx):
+                    parts.append(p)
+        elif schema.type == "date":
+            c = col.cast("timestamp")
+            for rule in schema._rules:
+                for p, _, _ in _date_rule(rule, c, ctx):
+                    parts.append(p)
+        elif schema.type == "boolean":
+            pass
+        out = F.lit(True)
+        for p in parts:
+            out = out & p
+        # guard: a NULL value vacuously matches unless presence requires it
+        if presence != "required":
+            out = F.when(col.isNull(), F.lit(None not in schema._invalids.values)).otherwise(out)
+        return F.coalesce(out, F.lit(False))
+    return pred
+
+
+# ---------------------------------------------------------------------------
+
+def _coerce(schema: Schema, col: Column, dtype: T.DataType, ctx: _Ctx,
+            label: str) -> tuple[Column, list[tuple[Column, str, dict]]]:
+    """Conversion pass (reference: lib/validator.js:144-158 + per-type
+    coerce blocks).  Returns (converted expr, base-type failure checks)."""
+    checks: list[tuple[Column, str, dict]] = []
+    convert = ctx.prefs["convert"]
+    t = schema.type
+
+    if t == "string":
+        conv = col if _is_string_like(dtype) else col.cast("string")
+        if not _is_string_like(dtype):
+            # static typing: non-string columns fail string.base in strict
+            # mode; in convert mode Joi does NOT coerce non-strings either
+            # (string has no coerce from number) → string.base
+            checks.append((F.lit(False), "string.base", {}))
+            return conv, checks
+        if convert:
+            for rule in schema._rules:
+                a = rule.args
+                if rule.name == "normalize":
+                    from joi_spark.functions.udfs import unicode_normalize_expr
+                    conv = unicode_normalize_expr(conv, a["form"])
+                elif rule.name == "case":
+                    conv = F.lower(conv) if a["direction"] == "lower" else F.upper(conv)
+                elif rule.name == "trim" and a.get("enabled", True):
+                    conv = F.trim(conv)
+                elif rule.name == "replace":
+                    conv = F.regexp_replace(conv, a["pattern"], a["replacement"])
+            if schema._flags.get("truncate"):
+                mx = schema.get_rule("max")
+                if mx:
+                    limit = ctx.resolve(mx.args["limit"])
+                    conv = F.substring(conv, F.lit(1), limit.cast("int")) \
+                        if isinstance(mx.args["limit"], Ref) else \
+                        F.substring(conv, 1, int(mx.args["limit"]))
+        return conv, checks
+
+    if t == "number":
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            checks.append((~F.isnan(col), "number.base", {}))
+            checks.append((col != float("inf"), "number.infinity", {}))
+            checks.append((col != float("-inf"), "number.infinity", {}))
+            if not schema._flags.get("unsafe"):
+                checks.append((F.abs(col) <= F.lit(float(MAX_SAFE_INTEGER)),
+                               "number.unsafe", {}))
+            return col, checks
+        if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType,
+                              T.ByteType, T.DecimalType)):
+            if not schema._flags.get("unsafe") and isinstance(dtype, (T.LongType, T.DecimalType)):
+                checks.append((F.abs(col) <= F.lit(MAX_SAFE_INTEGER),
+                               "number.unsafe", {}))
+            return col, checks
+        if _is_string_like(dtype):
+            if convert:
+                conv = col.try_cast("double")
+                checks.append((conv.isNotNull() | col.isNull(), "number.base", {}))
+                checks.append((~F.coalesce(F.isnan(conv), F.lit(False)),
+                               "number.base", {}))
+                if not schema._flags.get("unsafe"):
+                    checks.append((F.coalesce(F.abs(conv) <= F.lit(float(MAX_SAFE_INTEGER)), F.lit(True)),
+                                   "number.unsafe", {}))
+                # precision rounding in convert mode
+                # (reference: lib/types/number.js:81-87)
+                prec = schema.get_rule("precision")
+                if prec:
+                    conv = F.round(conv, prec.args["limit"])
+                return conv, checks
+            checks.append((F.lit(False), "number.base", {}))
+            return col, checks
+        raise CompileError(f"number() on unsupported column type {dtype}")
+
+    if t == "boolean":
+        if isinstance(dtype, T.BooleanType):
+            return col, checks
+        if _is_string_like(dtype) and convert:
+            truthy = [str(v) for v in (schema._terms.get("truthy") or [])]
+            falsy = [str(v) for v in (schema._terms.get("falsy") or [])]
+            insensitive = schema._flags.get("insensitive", True)
+            probe = F.lower(col) if insensitive else col
+            t_set = [v.lower() for v in truthy] if insensitive else truthy
+            f_set = [v.lower() for v in falsy] if insensitive else falsy
+            conv = (F.when(probe == "true", F.lit(True))
+                    .when(probe == "false", F.lit(False)))
+            if t_set:
+                conv = conv.when(probe.isin(*t_set), F.lit(True))
+            if f_set:
+                conv = conv.when(probe.isin(*f_set), F.lit(False))
+            checks.append((conv.isNotNull() | col.isNull(), "boolean.base", {}))
+            return conv, checks
+        checks.append((F.lit(isinstance(dtype, T.BooleanType)), "boolean.base", {}))
+        return col, checks
+
+    if t == "date":
+        if isinstance(dtype, (T.TimestampType, T.DateType)):
+            return col.cast("timestamp"), checks
+        fmt = schema._flags.get("format")
+        if convert:
+            if fmt == "unix":
+                conv = F.timestamp_seconds(col.cast("string").try_cast("long"))
+                code = "date.timestamp.unix"
+            elif fmt == "javascript":
+                conv = F.timestamp_millis(col.cast("string").try_cast("long"))
+                code = "date.timestamp.javascript"
+            elif fmt == "iso":
+                conv = F.when(col.cast("string").rlike(RX.ISO_DATE),
+                              col.cast("string").try_cast("timestamp"))
+                code = "date.isoDate"
+            else:
+                conv = F.coalesce(
+                    col.cast("string").try_cast("timestamp"),
+                    F.timestamp_millis(col.cast("string").try_cast("long")))
+                code = "date.base"
+            checks.append((conv.isNotNull() | col.isNull(), code, {}))
+            return conv, checks
+        checks.append((F.lit(False), "date.strict" if fmt == "iso" else "date.base", {}))
+        return col, checks
+
+    if t == "array":
+        if isinstance(dtype, T.ArrayType):
+            return col, checks
+        if _is_string_like(dtype) and convert:
+            # JSON-string coerce (reference: lib/types/array.js:31-62);
+            # element type unknown → array<string>
+            conv = F.from_json(col, T.ArrayType(T.StringType()))
+            checks.append((conv.isNotNull() | col.isNull(), "array.base", {}))
+            return conv, checks
+        checks.append((F.lit(False), "array.base", {}))
+        return col, checks
+
+    if t == "binary":
+        if isinstance(dtype, T.BinaryType):
+            return col, checks
+        if _is_string_like(dtype) and convert:
+            return col.cast("binary"), checks
+        checks.append((F.lit(isinstance(dtype, T.BinaryType)), "binary.base", {}))
+        return col, checks
+
+    # any / object passthrough
+    return col, checks
+
+
+# ---------------------------------------------------------------------------
+
+def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
+                   plan: CompiledPlan, *, cond: Column | None = None) -> None:
+    """Emit conversion + checks for one column.  ``cond`` guards every
+    check (used by when/conditional schemas)."""
+    col = F.col(name)
+    label = _label(schema, name)
+    overrides = schema._messages
+    prefs = {**ctx.prefs, **(schema._preferences or {})}
+    local = _Ctx(ctx.columns, ctx.conversions, prefs, ctx.context)
+    local.seq = ctx.seq
+
+    def emit(pred: Column, code: str, mctx: dict, *, guard: Column | None = None,
+             severity: str = "error", message_override: str | None = None,
+             value_col: Column | None = None):
+        mctx = {"label": label, **mctx}
+        ov = dict(overrides)
+        if message_override:
+            ov[code] = message_override
+        msg = E.render_column(code, mctx, value_col if value_col is not None else col,
+                              overrides=ov)
+        okc = F.coalesce(pred, F.lit(False))
+        g = guard
+        if cond is not None:
+            g = cond if g is None else (g & cond)
+        if g is not None:
+            okc = F.when(~F.coalesce(g, F.lit(False)), F.lit(True)).otherwise(okc)
+        plan.checks.append(Check(ctx.next_seq(), name, code, okc, msg, severity))
+
+    # 1. coerce --------------------------------------------------------
+    conv, base_checks = _coerce(schema, col, dtype, local, label)
+
+    # 2. empty (reference: lib/validator.js:162-165)
+    empty = schema._flags.get("empty")
+    if empty is not None:
+        empty_pred = value_predicate(empty, local) if isinstance(empty, Schema) \
+            else (lambda c: c == F.lit(empty))
+        conv = F.when(empty_pred(conv), F.lit(None)).otherwise(conv)
+
+    ctx.conversions[name] = conv
+    present = conv.isNotNull()
+
+    # 3. presence (reference: lib/validator.js:170-190)
+    presence = schema._flags.get("presence", prefs.get("presence", "optional"))
+    if presence == "required":
+        emit(present, "any.required", {})
+    elif presence == "forbidden":
+        emit(~present, "any.unknown", {})
+
+    # base-type coercion failures run on present values only
+    for pred, code, mctx in base_checks:
+        emit(pred, code, mctx, guard=col.isNotNull())
+
+    # 4. valids (reference: lib/validator.js:196-214)
+    valid_match = None
+    if schema._valids:
+        vm = F.lit(False)
+        non_null = [v for v in schema._valids.values if v is not None]
+        if non_null:
+            if schema._flags.get("insensitive") and all(isinstance(v, str) for v in non_null):
+                vm = F.lower(conv).isin(*[v.lower() for v in non_null])
+            else:
+                vm = conv.isin(*non_null)
+        for r in schema._valids.refs:
+            vm = vm | conv.eqNullSafe(local.resolve(r))
+        if None in schema._valids.values:
+            vm = vm | conv.isNull()
+        valid_match = F.coalesce(vm, F.lit(False))
+        if schema._flags.get("only"):
+            valids_disp = list(schema._valids.values) + \
+                [r for r in schema._valids.refs]
+            emit(valid_match, "any.only", {"valids": valids_disp},
+                 guard=present)
+            # only-mode: matching values skip rules; failing values report
+            # just any.only (reference: lib/validator.js:196-214) — no
+            # further checks compile for this column
+            ctx.seq = local.seq
+            _emit_output(schema, name, conv, plan, local)
+            return
+
+    rule_guard = present if valid_match is None else (present & ~valid_match)
+
+    # 5. invalids (reference: lib/validator.js:218-227)
+    if schema._invalids:
+        bad = F.lit(False)
+        nn = [v for v in schema._invalids.values if v is not None]
+        if nn:
+            if schema._flags.get("insensitive") and all(isinstance(v, str) for v in nn):
+                bad = F.lower(conv).isin(*[v.lower() for v in nn])
+            else:
+                bad = conv.isin(*nn)
+        for r in schema._invalids.refs:
+            bad = bad | conv.eqNullSafe(local.resolve(r))
+        guard = rule_guard
+        if None in schema._invalids.values:
+            bad = bad | conv.isNull()
+            guard = None if valid_match is None else ~valid_match
+        emit(~F.coalesce(bad, F.lit(False)), "any.invalid", {}, guard=guard)
+
+    # 6. base type-specific checks -------------------------------------
+    if schema.type == "string":
+        allow_empty = "" in schema._valids.values
+        if not allow_empty:
+            emit(conv != F.lit(""), "string.empty", {}, guard=rule_guard)
+
+    # 7. rules in chain order (reference: lib/validator.js:260-320)
+    compile_vp = lambda s: value_predicate(s, local)
+    for rule in schema._rules:
+        if rule.convert_only and prefs["convert"]:
+            continue  # handled by conversion (reference: lib/validator.js:269-273)
+        if schema.type == "string":
+            triples = _string_rule(rule, conv, local, label, overrides)
+        elif schema.type == "number":
+            if rule.name == "precision" and prefs["convert"]:
+                continue  # rounding applied in coercion
+            triples = _number_rule(rule, conv, local)
+        elif schema.type == "date":
+            triples = _date_rule(rule, conv, local)
+        elif schema.type == "array":
+            triples = _array_rule(rule, conv, local, compile_vp)
+        elif schema.type == "binary":
+            triples = _binary_rule(rule, conv, local)
+        else:
+            raise CompileError(
+                f"rule {rule.name!r} not supported on type {schema.type!r}")
+        for pred, code, mctx in triples:
+            emit(pred, code, mctx,
+                 guard=rule_guard,
+                 severity="warn" if rule.warn else "error",
+                 message_override=rule.message, value_col=conv)
+
+    # array items via higher-order forall (reference: lib/types/array.js:119-352)
+    if schema.type == "array" and schema._terms.get("items"):
+        item_schemas = schema._terms["items"]
+        allowed = [s for s in item_schemas
+                   if s._flags.get("presence") != "forbidden"]
+        forbidden = [s for s in item_schemas
+                     if s._flags.get("presence") == "forbidden"]
+        required = [s for s in allowed if s._flags.get("presence") == "required"]
+        if allowed:
+            preds = [value_predicate(s, local) for s in allowed]
+            ok_any = lambda x: _or_all([p(x) for p in preds])
+            emit(F.forall(conv, ok_any), "array.includes", {}, guard=rule_guard)
+        for s in forbidden:
+            p = value_predicate(s, local)
+            emit(~F.exists(conv, p), "array.excludes", {}, guard=rule_guard)
+        for s in required:
+            p = value_predicate(s, local)
+            emit(F.exists(conv, p), "array.includesRequiredUnknowns",
+                 {"unknownMisses": 1}, guard=rule_guard)
+    if schema.type == "array" and schema._flags.get("sparse") is False:
+        emit(~F.exists(conv, lambda x: x.isNull()), "array.sparse", {},
+             guard=rule_guard)
+
+    # conditional whens (reference: lib/base.js:319-365) ----------------
+    for w in schema._terms.get("whens") or []:
+        ref_col = local.resolve(w["ref"])
+        is_pred = value_predicate(w["is"], local)(ref_col) if isinstance(w["is"], Schema) \
+            else (ref_col.eqNullSafe(F.lit(w["is"])) if not isinstance(w["is"], Ref)
+                  else ref_col.eqNullSafe(local.resolve(w["is"])))
+        for branch, branch_cond in (("then", is_pred), ("otherwise", ~is_pred)):
+            sub = w.get(branch)
+            if sub is None:
+                continue
+            sub_cond = branch_cond if cond is None else (cond & branch_cond)
+            compile_column(sub, name, dtype, ctx, plan, cond=sub_cond)
+
+    ctx.seq = local.seq
+    _emit_output(schema, name, conv, plan, local)
+
+
+def _or_all(preds: list[Column]) -> Column:
+    out = F.lit(False)
+    for p in preds:
+        out = out | p
+    return out
+
+
+def _emit_output(schema: Schema, name: str, conv: Column,
+                 plan: CompiledPlan, ctx: _Ctx) -> None:
+    """Output shaping: default → failover → cast → strip
+    (reference: lib/validator.js:351-430)."""
+    out = conv
+    if "default" in schema._flags:
+        d = schema._flags["default"]
+        out = F.coalesce(out, ctx.resolve(d) if isinstance(d, Ref) else F.lit(d))
+    if "failover" in schema._flags:
+        fo = schema._flags["failover"]
+        col_ok = F.lit(True)
+        for c in plan.checks:
+            if c.path == name and c.severity == "error":
+                col_ok = col_ok & c.predicate
+        out = F.when(col_ok, out).otherwise(F.lit(fo))
+    cast_to = schema._flags.get("cast")
+    if cast_to:
+        # reference cast targets: string/number/map/set
+        # (e.g. lib/types/date.js:137-152)
+        mapping = {"string": "string", "number": "double", "set": None, "map": None}
+        if cast_to == "number" and schema.type == "date":
+            out = F.unix_millis(out)
+        elif cast_to == "string" and schema.type == "date":
+            out = F.date_format(out, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        elif cast_to == "number" and schema.type == "boolean":
+            out = out.cast("int")
+        elif cast_to == "set" and schema.type == "array":
+            out = F.array_distinct(out)
+        elif mapping.get(cast_to):
+            out = out.cast(mapping[cast_to])
+    if schema._flags.get("result") == "strip":
+        plan.drops.append(name)
+    elif schema._flags.get("result") == "raw":
+        out = F.col(name)
+    plan.conversions[name] = conv
+    plan.outputs[name] = out
+
+
+# ---------------------------------------------------------------------------
+
+def compile_table(schema: Schema, df: DataFrame, *,
+                  prefs: dict | None = None,
+                  context: dict | None = None) -> CompiledPlan:
+    """Compile an object schema (keys = columns) against a DataFrame."""
+    merged_prefs = {**DEFAULT_PREFS, **(prefs or {}),
+                    **(schema._preferences or {})}
+    context = {**merged_prefs.get("context", {}), **(context or {})}
+    plan = CompiledPlan()
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    ctx = _Ctx(list(df.columns), {}, merged_prefs, context)
+
+    if not isinstance(schema, ObjectSchema):
+        raise CompileError("compile_table requires an object() schema; "
+                           "use object().keys({column: schema})")
+
+    # renames first (reference: lib/types/object.js:886-967) — the engine
+    # applies them before the conversion stage, so compile against the
+    # post-rename column set
+    columns = list(df.columns)
+    for r in schema._terms.get("renames") or []:
+        plan.renames.append((r["from"], r["to"]))
+        if r["from"] in columns:
+            dtypes[r["to"]] = dtypes.pop(r["from"])
+            columns[columns.index(r["from"])] = r["to"]
+    ctx.columns = columns
+
+    keys: dict[str, Schema] = dict(schema._terms.get("keys") or {})
+
+    # unknown-column policy (reference: lib/types/object.js:970-1077) —
+    # a TABLE-level verdict, not per-row
+    allow_unknown = schema._flags.get("unknown", merged_prefs["allow_unknown"])
+    renamed_to = {to for _, to in plan.renames}
+    known = set(keys) | renamed_to
+    unknown_cols = [c for c in columns if c not in known]
+    if keys and not allow_unknown and unknown_cols:
+        if merged_prefs.get("strip_unknown"):
+            plan.drops.extend(unknown_cols)
+        else:
+            for c in unknown_cols:
+                plan.table_errors.append(
+                    E.render_static("object.unknown", {"label": c}) or "")
+
+    # two passes so refs resolve against converted siblings regardless of
+    # declaration order (reference topo-sorts keys: lib/types/object.js:598-625)
+    order = _topo_order(keys)
+    for k in order:
+        s = keys[k]
+        if k not in columns:
+            # missing column ≙ key never present: presence-required fails
+            # for every row; other rules vacuous
+            presence = s._flags.get("presence", merged_prefs.get("presence"))
+            if presence == "required":
+                label = _label(s, k)
+                msg = E.render_static("any.required", {"label": label},
+                                      overrides=s._messages)
+                plan.checks.append(Check(ctx.next_seq(), k, "any.required",
+                                         F.lit(False), F.lit(msg)))
+            continue
+        compile_column(s, k, dtypes[k], ctx, plan)
+
+    # dependencies (reference: lib/types/object.js:724-872)
+    main_label = _label(schema, "")
+    for dep in schema._terms.get("dependencies") or []:
+        _compile_dependency(dep, ctx, plan, main_label, schema._messages)
+
+    # asserts (reference: lib/types/object.js:205-231)
+    for a in schema._terms.get("asserts") or []:
+        ref: Ref = a["ref"]
+        target = ctx.conversions.get(ref.key, F.col(ref.key))
+        pred = value_predicate(a["schema"], ctx)(target)
+        subject_label = a["message"] or ref.key
+        msg = E.render_static(
+            "object.assert",
+            {"label": main_label, "ref": ref.key,
+             "message": a["message"] or "pass the assertion test"},
+            overrides=schema._messages)
+        plan.checks.append(Check(ctx.next_seq(), ref.key, "object.assert",
+                                 F.coalesce(pred, F.lit(False)), F.lit(msg)))
+    return plan
+
+
+def _topo_order(keys: dict[str, Schema]) -> list[str]:
+    """Order keys so ref-targets compile before referents
+    (reference: lib/types/object.js:598-625 via @hapi/topo)."""
+    deps: dict[str, set[str]] = {}
+    for k, s in keys.items():
+        refs: set[str] = set()
+        def collect(sch: Schema):
+            for r in sch._valids.refs + sch._invalids.refs:
+                if r.kind == "value":
+                    refs.add(r.key)
+            for rule in sch._rules:
+                for v in rule.args.values():
+                    if isinstance(v, Ref) and v.kind == "value":
+                        refs.add(v.key)
+            for w in sch._terms.get("whens") or []:
+                if isinstance(w["ref"], Ref) and w["ref"].kind == "value":
+                    refs.add(w["ref"].key)
+        collect(s)
+        deps[k] = refs & set(keys)
+    out: list[str] = []
+    seen: set[str] = set()
+    def visit(k: str, stack: tuple = ()):
+        if k in seen:
+            return
+        if k in stack:
+            raise CompileError(f"circular reference involving {k!r}")
+        for d in sorted(deps.get(k, ())):
+            visit(d, stack + (k,))
+        seen.add(k)
+        out.append(k)
+    for k in keys:
+        visit(k)
+    return out
+
+
+def _compile_dependency(dep: Dependency, ctx: _Ctx, plan: CompiledPlan,
+                        main_label: str, overrides: dict) -> None:
+    """and/or/xor/oxor/nand/with/without over column presence
+    (reference: lib/types/object.js:724-872)."""
+    def pres(k: str) -> Column:
+        return ctx.conversions.get(k, F.col(k)).isNotNull()
+
+    peers = dep.peers
+    labels = [f'"{p}"' for p in peers]
+    peers_with_labels = ", ".join(labels)
+    n_present = None
+    for p in peers:
+        c = pres(p).cast("int")
+        n_present = c if n_present is None else (n_present + c)
+
+    code = f"object.{dep.rel}"
+    if dep.rel == "and":
+        pred = (n_present == 0) | (n_present == len(peers))
+        # message context (present/missing) varies per row; for the
+        # table-level realization we render the static peer list
+        msg = E.render_static(
+            "object.and",
+            {"label": main_label,
+             "presentWithLabels": E.stringify(labels, False),
+             "missingWithLabels": E.stringify(labels, False)},
+            overrides=overrides)
+        plan.checks.append(Check(ctx.next_seq(), ",".join(peers), code,
+                                 F.coalesce(pred, F.lit(False)), F.lit(msg)))
+        return
+    if dep.rel == "or":
+        pred = n_present >= 1
+        code = "object.missing"
+        mctx = {"label": main_label,
+                "peersWithLabels": E.stringify(labels, False)}
+    elif dep.rel == "xor":
+        # n=0 → object.missing, n>1 → object.xor — two distinct codes
+        # (reference: lib/types/object.js:851-872)
+        mctx = {"label": main_label,
+                "peersWithLabels": E.stringify(labels, False)}
+        miss_msg = E.render_static("object.missing", mctx, overrides=overrides)
+        plan.checks.append(Check(ctx.next_seq(), ",".join(peers),
+                                 "object.missing",
+                                 F.coalesce(n_present >= 1, F.lit(False)),
+                                 F.lit(miss_msg)))
+        pred = n_present <= 1
+    elif dep.rel == "oxor":
+        pred = n_present <= 1
+        mctx = {"label": main_label,
+                "peersWithLabels": E.stringify(labels, False)}
+    elif dep.rel == "nand":
+        pred = n_present < len(peers)
+        mctx = {"mainWithLabel": peers[0],
+                "peersWithLabels": E.stringify([f'"{p}"' for p in peers[1:]], False)}
+    elif dep.rel == "with":
+        key_present = pres(dep.key)
+        pred = ~key_present | _and_all([pres(p) for p in peers])
+        mctx = {"mainWithLabel": dep.key, "peerWithLabel": peers[0]}
+    elif dep.rel == "without":
+        key_present = pres(dep.key)
+        pred = ~key_present | _and_all([~pres(p) for p in peers])
+        mctx = {"mainWithLabel": dep.key, "peerWithLabel": peers[0]}
+    else:
+        raise CompileError(f"unknown dependency {dep.rel!r}")
+    msg = E.render_static(code, mctx, overrides=overrides)
+    path = dep.key or ",".join(peers)
+    plan.checks.append(Check(ctx.next_seq(), path, code,
+                             F.coalesce(pred, F.lit(False)), F.lit(msg)))
+
+
+def _and_all(preds: list[Column]) -> Column:
+    out = F.lit(True)
+    for p in preds:
+        out = out & p
+    return out

@@ -1,0 +1,179 @@
+"""Execution runner: apply a CompiledPlan to a DataFrame.
+
+Four declarative stages (SURVEY.md §7): (1) rename + conversion
+projection, (2) one ``select`` computing every check predicate, (3)
+violation extraction — an array-of-structs built per row, filtered with
+higher-order functions, exploded; message columns are only evaluated for
+failing rows because they sit inside ``F.when(~pred, ...)`` — and (4)
+outputs: converted table, violations DataFrame (stable ``order_by``
+ordering), per-partition verdicts.
+
+Everything is a narrow projection until the caller aggregates
+(verdicts) or sorts (violations) — embarrassingly parallel at 10^12
+rows; no shuffle is introduced by validation itself.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from joi_spark.compiler import CompiledPlan, compile_table, DEFAULT_PREFS
+from joi_spark.dsl.base import Schema
+from joi_spark.dsl.manifest import manifest_hash
+
+VIOLATION_COLS = ("seq", "code", "path", "message", "severity")
+
+
+class ValidationResult:
+    """Spark-side analogue of the reference's ``{ value, error, warning }``
+    (reference: lib/base.js:573-576) — lazily-evaluated DataFrames."""
+
+    def __init__(self, df: DataFrame, plan: CompiledPlan, schema: Schema,
+                 order_by: Sequence[str], abort_early: bool):
+        self._df = df
+        self.plan = plan
+        self.schema = schema
+        self.order_by = list(order_by)
+        self.abort_early = abort_early
+        self.table_errors = list(plan.table_errors)
+        self._checked: DataFrame | None = None
+
+    # -- stage 2+3: checked frame -------------------------------------
+    @property
+    def checked(self) -> DataFrame:
+        """Input + ``_ok`` boolean + ``_violations`` array<struct>."""
+        if self._checked is None:
+            df = self._df
+            for frm, to in self.plan.renames:
+                df = df.withColumnRenamed(frm, to)
+            entries = []
+            for c in self.plan.checks:
+                entries.append(
+                    F.when(~c.predicate,
+                           F.struct(F.lit(c.seq).alias("seq"),
+                                    F.lit(c.code).alias("code"),
+                                    F.lit(c.path).alias("path"),
+                                    c.message.cast("string").alias("message"),
+                                    F.lit(c.severity).alias("severity"))))
+            if entries:
+                arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+            else:
+                arr = F.array().cast(
+                    "array<struct<seq:int,code:string,path:string,"
+                    "message:string,severity:string>>")
+            errors = F.filter(arr, lambda x: x["severity"] == F.lit("error"))
+            warnings = F.filter(arr, lambda x: x["severity"] == F.lit("warn"))
+            if self.abort_early:
+                # report first failing rule per row, matching the
+                # reference's per-value abortEarly order
+                # (reference: lib/validator.js:308-311; SURVEY.md §4)
+                errors = F.slice(errors, 1, 1)
+            violations = F.concat(errors, warnings)
+            self._checked = df.withColumn("_violations", violations) \
+                              .withColumn("_ok", F.size(F.filter(
+                                  F.col("_violations"),
+                                  lambda x: x["severity"] == F.lit("error"))) == 0)
+        return self._checked
+
+    # -- outputs ---------------------------------------------------------
+    def violations(self, include_warnings: bool = True) -> DataFrame:
+        """One row per (row, failed rule), ordered by ``order_by`` then
+        rule sequence — the stable reporting contract."""
+        v = (self.checked
+             .filter(F.size("_violations") > 0)
+             .withColumn("_v", F.explode("_violations")))
+        if not include_warnings:
+            v = v.filter(F.col("_v.severity") == "error")
+        out = v.select(*self.order_by,
+                       F.col("_v.seq").alias("seq"),
+                       F.col("_v.code").alias("code"),
+                       F.col("_v.path").alias("path"),
+                       F.col("_v.message").alias("message"),
+                       F.col("_v.severity").alias("severity"))
+        if self.order_by:
+            out = out.orderBy(*self.order_by, "seq")
+        return out
+
+    @property
+    def value(self) -> DataFrame:
+        """The converted table — analogue of ``result.value``."""
+        df = self.checked
+        keep = [c for c in df.columns if c not in ("_violations", "_ok")]
+        cols: list[Column] = []
+        for c in keep:
+            if c in self.plan.drops:
+                continue
+            if c in self.plan.outputs:
+                cols.append(self.plan.outputs[c].alias(c))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    converted = value
+
+    def verdicts(self, partition_by: Sequence[str]) -> DataFrame:
+        """Per-partition pass/fail manifest rows (north_rule output (a))."""
+        mh = manifest_hash(self.schema)
+        return (self.checked
+                .groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.size(F.filter(
+                         F.col("_violations"),
+                         lambda x: x["severity"] == F.lit("error"))))
+                      .alias("n_violations"),
+                     F.sum(F.size(F.filter(
+                         F.col("_violations"),
+                         lambda x: x["severity"] == F.lit("warn"))))
+                      .alias("n_warnings"),
+                     F.min(F.col("_ok").cast("int")).cast("boolean").alias("pass"))
+                .withColumn("constraint_hash", F.lit(mh))
+                .orderBy(*partition_by))
+
+    def is_valid(self) -> bool:
+        """Whole-table verdict (drives ``assert_table``)."""
+        if self.table_errors:
+            return False
+        return self.checked.filter(~F.col("_ok")).limit(1).count() == 0
+
+
+def validate(df: DataFrame, schema: Schema, *, prefs: dict | None = None,
+             context: dict | None = None,
+             order_by: Sequence[str] | None = None) -> ValidationResult:
+    """Validate a table against an object schema (keys = columns).
+
+    Spark-side analogue of ``schema.validate(value, prefs)``
+    (reference: lib/base.js:573-576 → lib/validator.js:14-35).
+    """
+    merged = {**DEFAULT_PREFS, **(prefs or {})}
+    if context:
+        merged["context"] = {**merged.get("context", {}), **context}
+    plan = compile_table(schema, df, prefs=merged, context=merged["context"])
+    if order_by is None:
+        order_by = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+    return ValidationResult(df, plan, schema, order_by,
+                            abort_early=merged["abort_early"])
+
+
+class TableValidationError(AssertionError):
+    def __init__(self, message: str, sample: list | None = None):
+        super().__init__(message)
+        self.sample = sample or []
+
+
+def assert_table(df: DataFrame, schema: Schema, *, sample_size: int = 5,
+                 **kw) -> DataFrame:
+    """Validate and raise with a violation sample on failure — analogue of
+    ``Joi.assert/attempt`` (reference: lib/index.js:83-106)."""
+    result = validate(df, schema, **kw)
+    if result.table_errors:
+        raise TableValidationError("; ".join(result.table_errors))
+    sample = result.violations().limit(sample_size).collect()
+    if sample:
+        lines = "\n".join(f"  {r['path']}: {r['message']}" for r in sample)
+        raise TableValidationError(
+            f"table failed validation (first {len(sample)} violations):\n{lines}",
+            sample)
+    return result.value

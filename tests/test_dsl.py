@@ -1,0 +1,111 @@
+"""DSL mechanics: clone-on-write immutability, single-rule dedup,
+manifest round-trip (reference contract: build(describe(s)) == s,
+test/helper.js:23-25)."""
+
+from __future__ import annotations
+
+import pytest
+
+import joi_spark as joi
+from joi_spark.dsl.base import Rule
+
+
+def test_chain_clones():
+    a = joi.string()
+    b = a.min(3)
+    assert a.get_rule("min") is None
+    assert b.get_rule("min").args["limit"] == 3
+
+
+def test_single_rule_dedup():
+    # re-adding a non-multi rule replaces (reference: lib/base.js:617-621)
+    s = joi.string().min(3).min(5)
+    rules = [r for r in s._rules if r.name == "min"]
+    assert len(rules) == 1
+    assert rules[0].args["limit"] == 5
+
+
+def test_multi_rule_accumulates():
+    s = joi.string().pattern("^a").pattern("b$")
+    assert len([r for r in s._rules if r.name == "pattern"]) == 2
+
+
+def test_valid_sets_only_flag():
+    s = joi.string().valid("a", "b")
+    assert s._flags["only"] is True
+    assert s._valids.values == ["a", "b"]
+
+
+def test_allow_does_not_set_only():
+    s = joi.string().allow("")
+    assert "only" not in s._flags
+
+
+def test_invalid_removes_from_valids():
+    s = joi.string().allow("x").invalid("x")
+    assert "x" not in s._valids.values
+    assert "x" in s._invalids.values
+
+
+@pytest.mark.parametrize("schema", [
+    joi.string().min(3).max(10).pattern("^[a-z]+$").required(),
+    joi.number().integer().min(0).max(100).multiple(5),
+    joi.string().valid("a", "b").insensitive(),
+    joi.string().email().lowercase().trim(),
+    joi.date().min("now").timestamp("unix"),
+    joi.boolean().truthy("Y").falsy("N"),
+    joi.array().items(joi.string().min(1)).unique().min(1),
+    joi.object({
+        "a": joi.string().required(),
+        "b": joi.number().min(joi.ref("a")),
+    }).xor("a", "c").with_("a", ["b"]).assert_("a", joi.string().min(2)),
+    joi.string().default("x").failover("y").label("L").description("d"),
+    joi.any_().when("a", is_="x", then=joi.string().required()),
+])
+def test_manifest_round_trip(schema):
+    desc = schema.describe()
+    rebuilt = joi.build(desc)
+    assert rebuilt.describe() == desc
+
+
+def test_manifest_hash_stable():
+    s1 = joi.string().min(3)
+    s2 = joi.string().min(3)
+    assert joi.manifest_hash(s1) == joi.manifest_hash(s2)
+    assert joi.manifest_hash(s1) != joi.manifest_hash(joi.string().min(4))
+
+
+def test_concat_merges():
+    a = joi.string().min(3)
+    b = joi.string().max(10)
+    c = a.concat(b)
+    assert c.get_rule("min").args["limit"] == 3
+    assert c.get_rule("max").args["limit"] == 10
+
+
+def test_concat_any_retypes():
+    a = joi.any_().required()
+    b = joi.number().min(1)
+    c = a.concat(b)
+    assert c.type == "number"
+    assert c._flags.get("presence") == "required"
+
+
+def test_compile_literal_dict():
+    s = joi.compile({"a": "x", "b": [1, 2]})
+    assert s.type == "object"
+    keys = s._terms["keys"]
+    assert keys["a"]._valids.values == ["x"]
+    assert keys["b"]._valids.values == [1, 2]
+
+
+def test_ref_display():
+    assert joi.ref("a").display == "ref:a"
+    assert joi.ref("$ctx").display == "global:ctx"
+
+
+def test_rule_and_warn_and_message():
+    s = joi.string().min(3).rule(message="too short", warn=True)
+    r = s.get_rule("min")
+    assert r.message == "too short"
+    assert r.warn is True

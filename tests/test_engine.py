@@ -1,0 +1,216 @@
+"""Engine end-to-end: violations, verdicts, converted output on the
+seeded transcript fixture (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import joi_spark as joi
+
+
+TRANSCRIPT_SCHEMA = joi.object({
+    "conv_id": joi.string().required(),
+    "turn_idx": joi.number().integer().min(0).required(),
+    "role": joi.string().valid("system", "user", "assistant", "tool").required(),
+    "text": joi.string().max(8192),
+    "ts": joi.date().required(),
+})
+
+
+def _viols(res):
+    return {(r["conv_id"], r["turn_idx"], r["code"]): r["message"]
+            for r in res.violations().collect()}
+
+
+def test_seeded_defects_found(transcripts):
+    res = joi.validate(transcripts, TRANSCRIPT_SCHEMA)
+    v = _viols(res)
+    assert v[("c000001", 1, "any.only")] == \
+        '"role" must be one of [system, user, assistant, tool]'
+    assert v[("c000002", 1, "any.required")] == '"role" is required'
+    assert v[("c000003", 1, "string.empty")] == \
+        '"text" is not allowed to be empty'
+    assert v[("c000005", 1, "string.max")] == \
+        '"text" length must be less than or equal to 8192 characters long'
+    # clean rows produce no violations
+    assert len(v) == 4
+
+
+def test_violations_ordered(transcripts):
+    res = joi.validate(transcripts, TRANSCRIPT_SCHEMA)
+    rows = [(r["conv_id"], r["turn_idx"]) for r in res.violations().collect()]
+    assert rows == sorted(rows)
+
+
+def test_verdicts(transcripts):
+    res = joi.validate(transcripts, TRANSCRIPT_SCHEMA)
+    verd = {r["epoch"]: r for r in res.verdicts(["epoch"]).collect()}
+    assert set(verd) == {0, 1}
+    assert not verd[0]["pass"] and not verd[1]["pass"]
+    total = sum(r["n_violations"] for r in verd.values())
+    assert total == 4
+    # lineage hash present and identical across partitions
+    hashes = {r["constraint_hash"] for r in verd.values()}
+    assert len(hashes) == 1
+
+
+def test_pass_on_clean(spark):
+    from joi_spark.sources.transcripts import clean_transcripts
+    df = clean_transcripts(spark, n_convs=5, turns_per_conv=6)
+    res = joi.validate(df, TRANSCRIPT_SCHEMA)
+    assert res.is_valid()
+    verd = res.verdicts(["epoch"]).collect()
+    assert all(r["pass"] for r in verd)
+
+
+def test_abort_early_reports_first_rule_only(spark):
+    df = spark.createDataFrame([("c1", 0, "zz")], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().min(5).max(1).pattern("^a")})
+    res = joi.validate(df, schema)   # abort_early default True
+    rows = res.violations().collect()
+    assert len(rows) == 1
+    assert rows[0]["code"] == "string.min"   # first failing rule in chain order
+
+    res2 = joi.validate(df, schema, prefs={"abort_early": False})
+    codes = [r["code"] for r in res2.violations().collect()]
+    assert codes == ["string.min", "string.max", "string.pattern.base"]
+
+
+def test_warn_channel(spark):
+    df = spark.createDataFrame([("c1", 0, "ab")], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().min(3).rule(warn=True)})
+    res = joi.validate(df, schema)
+    rows = res.violations().collect()
+    assert len(rows) == 1 and rows[0]["severity"] == "warn"
+    # warnings do not fail the table
+    assert res.is_valid()
+    verd = res.verdicts(["conv_id"]).collect()[0]
+    assert verd["pass"] and verd["n_warnings"] == 1
+
+
+def test_default_and_converted_output(spark):
+    df = spark.createDataFrame([("c1", 0, None), ("c2", 0, "x")],
+                               "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().default("filled")})
+    res = joi.validate(df, schema)
+    vals = {r["conv_id"]: r["s"] for r in res.value.collect()}
+    assert vals == {"c1": "filled", "c2": "x"}
+
+
+def test_trim_converts(spark):
+    df = spark.createDataFrame([("c1", 0, "  x  ")], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().trim()})
+    res = joi.validate(df, schema)
+    assert res.value.collect()[0]["s"] == "x"
+    assert res.is_valid()   # convert mode: trim coerces, check vacuous
+    # strict mode: violation instead
+    res2 = joi.validate(df, schema, prefs={"convert": False})
+    rows = res2.violations().collect()
+    assert rows[0]["code"] == "string.trim"
+    assert rows[0]["message"] == '"s" must not have leading or trailing whitespace'
+
+
+def test_number_coercion_from_string(spark):
+    df = spark.createDataFrame([("c1", 0, "42"), ("c2", 0, "nope")],
+                               "conv_id string, turn_idx int, n string")
+    schema = joi.object({"n": joi.number().min(10)})
+    res = joi.validate(df, schema)
+    v = {r["conv_id"]: r["code"] for r in res.violations().collect()}
+    assert v == {"c2": "number.base"}
+    vals = {r["conv_id"]: r["n"] for r in res.value.collect()}
+    assert vals["c1"] == 42.0
+
+
+def test_forbidden(spark):
+    df = spark.createDataFrame([("c1", 0, "x")], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.any_().forbidden()})
+    res = joi.validate(df, schema)
+    rows = res.violations().collect()
+    assert rows[0]["code"] == "any.unknown"
+    assert rows[0]["message"] == '"s" is not allowed'
+
+
+def test_invalid_values(spark):
+    df = spark.createDataFrame([("c1", 0, "bad")], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().invalid("bad")})
+    res = joi.validate(df, schema)
+    rows = res.violations().collect()
+    assert rows[0]["code"] == "any.invalid"
+    assert rows[0]["message"] == '"s" contains an invalid value'
+
+
+def test_ref_cross_column(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "pw1", "pw1"), ("c2", 0, "pw1", "pw2")],
+        "conv_id string, turn_idx int, pw string, pw_confirm string")
+    schema = joi.object({
+        "pw": joi.string().required(),
+        "pw_confirm": joi.any_().valid(joi.ref("pw")),
+    })
+    res = joi.validate(df, schema)
+    v = {r["conv_id"]: r for r in res.violations().collect()}
+    assert set(v) == {"c2"}
+    assert v["c2"]["code"] == "any.only"
+    assert v["c2"]["message"] == '"pw_confirm" must be one of [ref:pw]'
+
+
+def test_dependencies_without(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "tool_1"), ("c2", 0, "user", None)],
+        "conv_id string, turn_idx int, role string, tool string")
+    schema = joi.object({
+        "role": joi.string(), "tool": joi.string(),
+    }).without("tool", ["missing_col_ok"])  # vacuous peer
+    res = joi.validate(df, schema)
+    # xor: exactly one of role/tool
+    schema2 = joi.object({"role": joi.string(), "tool": joi.string()}).xor("role", "tool")
+    res2 = joi.validate(df, schema2)
+    v = {r["conv_id"]: r["code"] for r in res2.violations().collect()}
+    assert v == {"c1": "object.xor"}
+
+
+def test_when_conditional(spark):
+    # "if role='tool' then tool required" (FIXTURES.md cross-field defect)
+    df = spark.createDataFrame(
+        [("c1", 0, "tool", None), ("c2", 0, "tool", "tool_1"), ("c3", 0, "user", None)],
+        "conv_id string, turn_idx int, role string, tool string")
+    schema = joi.object({
+        "role": joi.string(),
+        "tool": joi.any_().when("role", is_="tool",
+                                then=joi.any_().required()),
+    })
+    res = joi.validate(df, schema)
+    v = {r["conv_id"]: r["code"] for r in res.violations().collect()}
+    assert v == {"c1": "any.required"}
+
+
+def test_label_override(spark):
+    df = spark.createDataFrame([("c1", 0, None)], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().required().label("The Field")})
+    res = joi.validate(df, schema)
+    assert res.violations().collect()[0]["message"] == '"The Field" is required'
+
+
+def test_messages_override(spark):
+    df = spark.createDataFrame([("c1", 0, None)], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().required().messages(
+        {"any.required": "custom: {{#label}} missing"})})
+    res = joi.validate(df, schema)
+    assert res.violations().collect()[0]["message"] == "custom: s missing"
+
+
+def test_assert_table_raises(spark):
+    from joi_spark.engine import TableValidationError
+    df = spark.createDataFrame([("c1", 0, None)], "conv_id string, turn_idx int, s string")
+    schema = joi.object({"s": joi.string().required()})
+    with pytest.raises(TableValidationError):
+        joi.assert_table(df, schema)
+
+
+def test_unknown_columns_table_error(spark):
+    df = spark.createDataFrame([("c1", 1)], "a string, b int")
+    schema = joi.object({"a": joi.string()}).unknown(False)
+    res = joi.validate(df, schema)
+    assert res.table_errors == ['"b" is not allowed']
+    assert not res.is_valid()
