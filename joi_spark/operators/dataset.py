@@ -1,0 +1,206 @@
+"""Dataset-level rules — Joi semantics re-materialized across rows.
+
+A Joi ``array`` is, at table scale, *the group of turns in one
+conversation* (SURVEY.md §2.6 right column).  Each operator here returns
+a violations DataFrame in the engine's reporting shape
+``(order_by..., seq, code, path, message, severity)`` so results union
+with per-row schema violations.
+
+Scale notes (the whole point of these implementations):
+- every operator shuffles on a FINE-GRAINED key — ``(conv_id, turn_idx)``,
+  never bare ``conv_id`` — so a single million-turn conversation spreads
+  over many tasks instead of hot-spotting one (skew-proof by key choice;
+  AQE skew-join handles the remainder);
+- ordering/adjacency checks use predecessor self-joins on
+  ``(conv_id, turn_idx-1)`` instead of ``Window.partitionBy(conv_id)``,
+  because a window over a hot conversation serializes into one task
+  while the join stays balanced;
+- group verdicts (head checks) use partial-aggregating ``groupBy`` —
+  map-side combine keeps skewed groups cheap.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from joi_spark import errors as E
+
+VIOLATION_SCHEMA_SUFFIX = ("seq", "code", "path", "message", "severity")
+
+
+def _violation_cols(order_by: Sequence[str], seq: int, code: str, path: str,
+                    message: str) -> list[Column]:
+    return [
+        *[F.col(c) for c in order_by],
+        F.lit(seq).alias("seq"),
+        F.lit(code).alias("code"),
+        F.lit(path).alias("path"),
+        F.lit(message).alias("message"),
+        F.lit("error").alias("severity"),
+    ]
+
+
+def unique_rows(df: DataFrame, keys: Sequence[str],
+                order_by: Sequence[str] | None = None,
+                seq: int = 1001) -> DataFrame:
+    """Duplicate ``keys`` combinations — Joi ``array().unique()`` over the
+    conversation-as-array (reference: lib/types/array.js:468-558; the
+    reference reports the duplicate occurrence, not the first — same
+    here: every occurrence after the first is a violation row).
+
+    Window over the FULL key (conv_id, turn_idx): fine-grained partition,
+    no skew, one shuffle.
+    """
+    order_by = list(order_by or keys)
+    label = ", ".join(keys)
+    msg = E.render_static("dataset.unique", {"label": label})
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    wc = Window.partitionBy(*keys)
+    return (df
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+            .filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+            .select(*_violation_cols(order_by, seq, "dataset.unique",
+                                     label, msg)))
+
+
+def monotone(df: DataFrame, value_col: str, *, conv_col: str = "conv_id",
+             idx_col: str = "turn_idx", strict: bool = True,
+             order_by: Sequence[str] | None = None,
+             seq: int = 1002) -> DataFrame:
+    """Value must not regress along turn order — Joi ``array().sort()``
+    semantics per conversation (reference: lib/types/array.js:420-452).
+
+    Predecessor SELF-JOIN on (conv, idx-1): shuffles on the fine key,
+    so hot conversations stay parallel (vs. a conv-partitioned window
+    that would serialize them).  Rows whose predecessor is missing
+    (gaps — reported separately by :func:`sparse_gaps`) compare nothing.
+    """
+    order_by = list(order_by or (conv_col, idx_col))
+    msg = E.render_static("dataset.sort",
+                          {"label": value_col, "order": "ascending",
+                           "by": idx_col})
+    cur = df.select(*order_by, F.col(conv_col).alias("_c"),
+                    F.col(idx_col).alias("_i"), F.col(value_col).alias("_v"))
+    prev = df.select(F.col(conv_col).alias("_c"),
+                     (F.col(idx_col) + 1).alias("_i"),
+                     F.col(value_col).alias("_pv"))
+    cmp_bad = (F.col("_v") < F.col("_pv")) if strict is False else \
+              (F.col("_v") <= F.col("_pv"))
+    # strict=True → strictly increasing required (ties are violations);
+    # ts ordering usually wants non-strict (ties OK) → strict=False
+    joined = cur.join(prev, ["_c", "_i"], "inner").filter(cmp_bad)
+    return joined.select(*_violation_cols(order_by, seq, "dataset.sort",
+                                          value_col, msg))
+
+
+def sparse_gaps(df: DataFrame, *, conv_col: str = "conv_id",
+                idx_col: str = "turn_idx",
+                order_by: Sequence[str] | None = None,
+                seq: int = 1003) -> DataFrame:
+    """Missing turn indices — Joi ``array().sparse(false)``
+    (reference: lib/types/array.js:154-164): every turn_idx>0 must have a
+    predecessor row (conv, idx-1).  LEFT ANTI join on the fine-grained
+    key; the violation row is the first row AFTER the gap."""
+    order_by = list(order_by or (conv_col, idx_col))
+    msg = E.render_static("dataset.sparse", {"label": idx_col})
+    cur = df.filter(F.col(idx_col) > 0) \
+            .select(*order_by, F.col(conv_col).alias("_c"),
+                    F.col(idx_col).alias("_i"))
+    prev = df.select(F.col(conv_col).alias("_c"),
+                     (F.col(idx_col) + 1).alias("_i")).distinct()
+    missing = cur.join(prev, ["_c", "_i"], "left_anti")
+    return missing.select(*_violation_cols(order_by, seq, "dataset.sparse",
+                                           idx_col, msg))
+
+
+def referential(df: DataFrame, col: str, dim: DataFrame, dim_col: str,
+                order_by: Sequence[str] = ("conv_id", "turn_idx"),
+                seq: int = 1004, broadcast: bool = True) -> DataFrame:
+    """FK resolution — Joi ``link()`` across tables (reference:
+    lib/types/link.js:35-59 late-bound schema reuse; at table scale the
+    target is a dimension table).  NULLs pass (absence ≠ broken link).
+
+    Dimension is broadcast (small side) → no shuffle of the fact table.
+    Set ``broadcast=False`` for large dimensions → sort-merge anti join.
+    """
+    msg = E.render_static("dataset.link", {"label": col})
+    d = dim.select(F.col(dim_col).alias(col)).distinct()
+    if broadcast:
+        d = F.broadcast(d)
+    bad = df.filter(F.col(col).isNotNull()).join(d, [col], "left_anti")
+    return bad.select(*_violation_cols(list(order_by), seq, "dataset.link",
+                                       col, msg))
+
+
+def conversation_heads(df: DataFrame, *, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx",
+                       seq: int = 1005) -> DataFrame:
+    """Every conversation must start at turn 0 — the root-``ref``
+    realization (reference: lib/ref.js:111-131 ancestor resolution to the
+    value root; the conversation head IS the root at table scale).
+
+    Partial-aggregating groupBy (min combines map-side) — skew-cheap.
+    Violation row carries (conv_id, first turn_idx seen).
+    """
+    msg = E.render_static("dataset.head", {"label": conv_col})
+    heads = (df.groupBy(conv_col)
+               .agg(F.min(idx_col).alias(idx_col))
+               .filter(F.col(idx_col) != 0))
+    return heads.select(*_violation_cols([conv_col, idx_col], seq,
+                                         "dataset.head", conv_col, msg))
+
+
+def conversation_sizes(df: DataFrame, *, conv_col: str = "conv_id",
+                       min_turns: int | None = None,
+                       max_turns: int | None = None,
+                       seq: int = 1006) -> DataFrame:
+    """Turn-count bounds per conversation — Joi ``array().min/max()``
+    over the conversation-as-array (reference: lib/types/array.js:354-388).
+    One partial agg; one violation row per offending conversation."""
+    counts = df.groupBy(conv_col).agg(F.count(F.lit(1)).alias("n_turns"))
+    out = None
+    if min_turns is not None:
+        msg = E.render_static("array.min", {"label": conv_col, "limit": min_turns})
+        v = counts.filter(F.col("n_turns") < min_turns).select(
+            F.col(conv_col), F.col("n_turns"),
+            F.lit(seq).alias("seq"), F.lit("array.min").alias("code"),
+            F.lit(conv_col).alias("path"), F.lit(msg).alias("message"),
+            F.lit("error").alias("severity"))
+        out = v
+    if max_turns is not None:
+        msg = E.render_static("array.max", {"label": conv_col, "limit": max_turns})
+        v = counts.filter(F.col("n_turns") > max_turns).select(
+            F.col(conv_col), F.col("n_turns"),
+            F.lit(seq + 1).alias("seq"), F.lit("array.max").alias("code"),
+            F.lit(conv_col).alias("path"), F.lit(msg).alias("message"),
+            F.lit("error").alias("severity"))
+        out = v if out is None else out.unionAll(v)
+    return out
+
+
+def validate_dataset(df: DataFrame, *, tools_dim: DataFrame | None = None,
+                     conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                     ts_col: str = "ts", tool_col: str = "tool") -> DataFrame:
+    """The standard transcript dataset-rule bundle (north_rule):
+    uniqueness + gaps + ts ordering + tool FK + conversation heads.
+    Returns the union of violation rows ordered by (conv, turn, seq)."""
+    order_by = [conv_col, idx_col]
+    parts = [
+        unique_rows(df, [conv_col, idx_col]),
+        sparse_gaps(df, conv_col=conv_col, idx_col=idx_col),
+        monotone(df, ts_col, conv_col=conv_col, idx_col=idx_col,
+                 strict=False),
+    ]
+    if tools_dim is not None:
+        parts.append(referential(df, tool_col, tools_dim, "tool_name",
+                                 order_by=order_by))
+    heads = conversation_heads(df, conv_col=conv_col, idx_col=idx_col)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out = out.unionAll(heads)
+    return out.orderBy(conv_col, idx_col, "seq")

@@ -1,0 +1,115 @@
+"""Per-column statistics — the profiling half of the north_rule output:
+null fraction, distinct/HLL cardinality, min/max, value histograms.
+
+One single-pass aggregation for all scalar stats (every accumulator is a
+partial-aggregating built-in → map-side combine, one shuffle of tiny
+partial states).  Histograms are a second pass grouped on the bucketed
+value — also partial-aggregating.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
+                 rsd: float = 0.05) -> DataFrame:
+    """Long-form stats: one row per column —
+    ``(column, n_rows, null_frac, approx_distinct, min, max)``.
+
+    ``approx_count_distinct`` is HyperLogLog++ (constant memory per
+    column at any scale); min/max cast to string for the long form.
+    """
+    columns = list(columns or df.columns)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.avg(col.isNull().cast("double")).alias(f"{c}__null_frac"),
+            F.approx_count_distinct(col, rsd).alias(f"{c}__approx_distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot driver-side over column NAMES only (no data movement):
+    # build a stack() expression — stays one Spark job
+    stacks = []
+    for c in columns:
+        stacks.append(
+            F.struct(F.lit(c).alias("column"),
+                     F.col("n_rows"),
+                     F.col(f"{c}__null_frac").alias("null_frac"),
+                     F.col(f"{c}__approx_distinct").alias("approx_distinct"),
+                     F.col(f"{c}__min").alias("min"),
+                     F.col(f"{c}__max").alias("max")))
+    return (wide.select(F.explode(F.array(*stacks)).alias("s"))
+                .select("s.*"))
+
+
+def value_histogram(df: DataFrame, column: str, *, n_buckets: int = 20,
+                    top_k: int | None = None) -> DataFrame:
+    """Histogram rows ``(bucket, count)``.
+
+    - categorical (string/bool): group by value, optional top-k by count;
+    - numeric/timestamp: fixed-width buckets over the observed min/max
+      (two passes: bounds, then bucketed count — both partial aggs).
+    """
+    dtype = dict(df.dtypes)[column]
+    col = F.col(column)
+    if dtype in ("string", "boolean"):
+        out = (df.filter(col.isNotNull()).groupBy(col.alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("count")))
+        if top_k:
+            out = out.orderBy(F.desc("count"), "bucket").limit(top_k)
+        return out.orderBy("bucket")
+    base = col.cast("double") if not dtype.startswith("timestamp") \
+        else F.unix_micros(col).cast("double")
+    bounds = df.agg(F.min(base).alias("lo"), F.max(base).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None or hi is None or hi == lo:
+        return (df.filter(col.isNotNull())
+                  .groupBy(F.lit(0).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("count")))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(F.floor((base - F.lit(lo)) / F.lit(width)),
+                     F.lit(n_buckets - 1)).cast("int")
+    return (df.filter(col.isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("count"))
+              .orderBy("bucket"))
+
+
+def stats_manifest(df: DataFrame, partition_col: str,
+                   columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-partition per-column stats — the metrics half of the
+    per-partition lineage manifest (north_rule: metrics manifests).
+    Single grouped aggregation; long-form output."""
+    columns = list(columns or [c for c in df.columns if c != partition_col])
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.avg(col.isNull().cast("double")).alias(f"{c}__null_frac"),
+            F.approx_count_distinct(col).alias(f"{c}__approx_distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.groupBy(partition_col).agg(*aggs)
+    stacks = []
+    for c in columns:
+        stacks.append(
+            F.struct(F.lit(c).alias("column"),
+                     F.col("n_rows"),
+                     F.col(f"{c}__null_frac").alias("null_frac"),
+                     F.col(f"{c}__approx_distinct").alias("approx_distinct"),
+                     F.col(f"{c}__min").alias("min"),
+                     F.col(f"{c}__max").alias("max")))
+    return (wide.select(F.col(partition_col),
+                        F.explode(F.array(*stacks)).alias("s"))
+                .select(partition_col, "s.*")
+                .orderBy(partition_col, "column"))
