@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family of the joi_spark
+validation engine (SURVEY.md §2) against the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB-checkable ANSI-SQL equivalent —
+including the byte-exact rendered violation messages, which is the
+reference's own output contract (reference: test/helper.js:35-39 — every
+failing case asserts the exact message string).
 """
 
 from __future__ import annotations
@@ -12,27 +13,423 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import joi_spark as joi
+from joi_spark.operators import dataset as DS
+from joi_spark.operators import drift as DR
+from joi_spark.operators import stats as ST
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_VCOLS = ["code", "message", "severity"]
+
+
+# ---------------------------------------------------------------------------
+# schema-compiler queries (vectorized predicates from the DSL)
+# ---------------------------------------------------------------------------
+
+def q_enum_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """valid()/required() — any.only + any.required (reference:
+    lib/base.js:314-317, lib/validator.js:170-214)."""
+    orders = _t(spark, sf_dir, "orders")
+    schema = joi.object({
+        "o_orderstatus": joi.string().valid("O", "F").required(),
+    })
+    res = joi.validate(orders, schema, prefs={"abort_early": False},
+                       order_by=["o_orderkey"])
+    return res.violations().select("o_orderkey", *_VCOLS)
+
+
+def q_string_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string case + enum in strict mode (reference:
+    lib/types/string/index.js:191-209, lib/base.js:314-317)."""
+    customer = _t(spark, sf_dir, "customer")
+    schema = joi.object({
+        "c_name": joi.string().max(18).uppercase(),
+        "c_mktsegment": joi.string().valid(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"),
+    })
+    res = joi.validate(customer, schema,
+                       prefs={"convert": False, "abort_early": False},
+                       order_by=["c_custkey"])
+    return res.violations().select("c_custkey", *_VCOLS)
+
+
+def q_pattern_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string.pattern with the row value spliced into the message
+    (reference: lib/types/string/index.js:576-604 + message table 764)."""
+    part = _t(spark, sf_dir, "part")
+    schema = joi.object({
+        "p_type": joi.string().pattern("^(STANDARD|SMALL|MEDIUM|LARGE)$"),
+    })
+    res = joi.validate(part, schema, prefs={"abort_early": False},
+                       order_by=["p_partkey"])
+    return res.violations().select("p_partkey", *_VCOLS)
+
+
+def q_number_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """number max/positive (reference: lib/types/number.js:122-163,214-258)."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = joi.object({
+        "l_quantity": joi.number().max(45),
+        "l_discount": joi.number().max(0.08),
+        "l_tax": joi.number().positive(),
+    })
+    res = joi.validate(li, schema, prefs={"abort_early": False},
+                       order_by=["l_orderkey", "l_linenumber"])
+    return res.violations().select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_date_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date.max (reference: lib/types/date.js:56-79)."""
+    orders = _t(spark, sf_dir, "orders")
+    schema = joi.object({"o_orderdate": joi.date().max("1999-12-31")})
+    res = joi.validate(orders, schema, prefs={"abort_early": False},
+                       order_by=["o_orderkey"])
+    return res.violations().select("o_orderkey", *_VCOLS)
+
+
+def q_when_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when(ref, is, then) conditional schema (reference:
+    lib/base.js:319-365 → lib/types/alternatives.js:165-246)."""
+    events = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "value": joi.number().when("event_type", is_="purchase",
+                                   then=joi.number().min(0.5)),
+    })
+    res = joi.validate(events, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
+def q_converted_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert-mode coercion projection — result.value analogue
+    (reference: lib/types/string/index.js:68-135 coerce; lib/validator.js:390)."""
+    events = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "event_type": joi.string().uppercase(),
+        "props": joi.string().trim(),
+    })
+    res = joi.validate(events, schema)
+    return res.value.select("event_id", "event_type", "props")
+
+
+def q_abort_early_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abort_early=True reports only the FIRST failing rule per row in
+    schema order (reference: lib/validator.js:308-311; SURVEY.md §4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = joi.object({
+        "l_discount": joi.number().max(0.08),
+        "l_tax": joi.number().positive(),
+    })
+    res = joi.validate(li, schema, prefs={"abort_early": True},
+                       order_by=["l_orderkey", "l_linenumber"])
+    return res.violations().select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+# ---------------------------------------------------------------------------
+# dataset-level operators (conversation-as-array semantics, SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+def q_ds_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueness of a compound key ≙ array.unique (reference:
+    lib/types/array.js:468-558): every occurrence after the first."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = DS.unique_rows(li, ["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_ds_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index-gap detection ≙ array.sparse(false) (reference:
+    lib/types/array.js:154-164); 1-based line numbers."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = DS.sparse_gaps(li, conv_col="l_orderkey", idx_col="l_linenumber",
+                       base=1)
+    return v.select("l_orderkey", "l_linenumber", *_VCOLS).distinct()
+
+
+def q_ds_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-head check ≙ root-ref resolution (reference:
+    lib/ref.js:111-131): every order's line numbering starts at 1."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = DS.conversation_heads(li, conv_col="l_orderkey",
+                              idx_col="l_linenumber", head=1)
+    return v.select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_ds_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK resolution via broadcast anti-join ≙ link() (reference:
+    lib/types/link.js:35-59); dimension truncated so orphans exist."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1900)
+    v = DS.referential(li, "l_partkey", dim, "p_partkey",
+                       order_by=["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_ds_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-group ordering ≙ array.sort by path (reference:
+    lib/types/array.js:740-813) over a non-contiguous ordering column."""
+    ev = _t(spark, sf_dir, "events")
+    v = DS.monotone_by_order(ev, "value", part_col="user_id",
+                             order_col="event_id")
+    return v.select("user_id", "event_id", *_VCOLS)
+
+
+# ---------------------------------------------------------------------------
+# statistics / drift (north_rule profiling half)
+# ---------------------------------------------------------------------------
+
+def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return ST.column_stats_exact(
+        li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return ST.value_histogram(orders, "o_totalprice", n_buckets=20)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the priority mix year-over-year (north_rule drift check)."""
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumn("epoch", F.year("o_orderdate"))
+    out = DR.psi(orders, "o_orderpriority", epoch_col="epoch")
+    return out.withColumn("psi", F.round("psi", 6))
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: composite schema over orders at sf0.001 — enum + date
+    bound + price cap + priority pattern, all violations reported."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    schema = joi.object({
+        "o_orderstatus": joi.string().valid("O", "F", "P").required(),
+        "o_orderdate": joi.date().max("1999-12-31"),
+        "o_totalprice": joi.number().positive().max(400000),
+        "o_orderpriority": joi.string().pattern("^[1-5]-[A-Z ]+$"),
+    })
+    res = joi.validate(orders, schema, prefs={"abort_early": False},
+                       order_by=["o_orderkey"])
+    return res.violations().select("o_orderkey", *_VCOLS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "enum_required": q_enum_required,
+        "string_rules": q_string_rules,
+        "pattern_message": q_pattern_message,
+        "number_rules": q_number_rules,
+        "date_rules": q_date_rules,
+        "when_conditional": q_when_conditional,
+        "converted_output": q_converted_output,
+        "abort_early_first": q_abort_early_first,
+        "ds_unique": q_ds_unique,
+        "ds_sparse": q_ds_sparse,
+        "ds_heads": q_ds_heads,
+        "ds_referential": q_ds_referential,
+        "ds_monotone": q_ds_monotone,
+        "stats_exact": q_stats_exact,
+        "histogram": q_histogram,
+        "psi_drift": q_psi_drift,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "enum_required": """
+            SELECT o_orderkey,
+                   'any.only' AS code,
+                   '"o_orderstatus" must be one of [O, F]' AS message,
+                   'error' AS severity
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+            UNION ALL
+            SELECT o_orderkey, 'any.required',
+                   '"o_orderstatus" is required', 'error'
+            FROM orders WHERE o_orderstatus IS NULL
+        """,
+        "string_rules": """
+            SELECT c_custkey,
+                   'string.uppercase' AS code,
+                   '"c_name" must only contain uppercase characters' AS message,
+                   'error' AS severity
+            FROM customer WHERE c_name <> upper(c_name)
+            UNION ALL
+            SELECT c_custkey, 'any.only',
+                   '"c_mktsegment" must be one of [AUTOMOBILE, BUILDING, FURNITURE, MACHINERY]',
+                   'error'
+            FROM customer
+            WHERE c_mktsegment IS NOT NULL
+              AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+        """,
+        "pattern_message": """
+            SELECT p_partkey,
+                   'string.pattern.base' AS code,
+                   '"p_type" with value "' || p_type ||
+                   '" fails to match the required pattern: /^(STANDARD|SMALL|MEDIUM|LARGE)$/' AS message,
+                   'error' AS severity
+            FROM part
+            WHERE p_type IS NOT NULL
+              AND NOT regexp_matches(p_type, '^(STANDARD|SMALL|MEDIUM|LARGE)$')
+        """,
+        "number_rules": """
+            SELECT l_orderkey, l_linenumber,
+                   'number.max' AS code,
+                   '"l_quantity" must be less than or equal to 45' AS message,
+                   'error' AS severity
+            FROM lineitem WHERE l_quantity > 45
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'number.max',
+                   '"l_discount" must be less than or equal to 0.08', 'error'
+            FROM lineitem WHERE l_discount > 0.08
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'number.positive',
+                   '"l_tax" must be a positive number', 'error'
+            FROM lineitem WHERE l_tax <= 0
+        """,
+        "date_rules": """
+            SELECT o_orderkey,
+                   'date.max' AS code,
+                   '"o_orderdate" must be less than or equal to "1999-12-31"' AS message,
+                   'error' AS severity
+            FROM orders WHERE o_orderdate > TIMESTAMP '1999-12-31 00:00:00'
+        """,
+        "when_conditional": """
+            SELECT event_id,
+                   'number.min' AS code,
+                   '"value" must be larger than or equal to 0.5' AS message,
+                   'error' AS severity
+            FROM events WHERE event_type = 'purchase' AND value < 0.5
+        """,
+        "converted_output": """
+            SELECT event_id, upper(event_type) AS event_type,
+                   trim(props) AS props
+            FROM events
+        """,
+        "abort_early_first": """
+            SELECT l_orderkey, l_linenumber,
+                   'number.max' AS code,
+                   '"l_discount" must be less than or equal to 0.08' AS message,
+                   'error' AS severity
+            FROM lineitem WHERE l_discount > 0.08
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'number.positive',
+                   '"l_tax" must be a positive number', 'error'
+            FROM lineitem WHERE l_tax <= 0 AND l_discount <= 0.08
+        """,
+        "ds_unique": """
+            SELECT l_orderkey, l_linenumber,
+                   'dataset.unique' AS code,
+                   '"l_orderkey, l_linenumber" contains a duplicate value' AS message,
+                   'error' AS severity
+            FROM (SELECT l_orderkey, l_linenumber,
+                         row_number() OVER (PARTITION BY l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn > 1
+        """,
+        "ds_sparse": """
+            SELECT DISTINCT l.l_orderkey, l.l_linenumber,
+                   'dataset.sparse' AS code,
+                   '"l_linenumber" must not be a sparse array item' AS message,
+                   'error' AS severity
+            FROM lineitem l
+            WHERE l.l_linenumber > 1
+              AND NOT EXISTS (SELECT 1 FROM lineitem p
+                              WHERE p.l_orderkey = l.l_orderkey
+                                AND p.l_linenumber = l.l_linenumber - 1)
+        """,
+        "ds_heads": """
+            SELECT l_orderkey, CAST(m AS INT) AS l_linenumber,
+                   'dataset.head' AS code,
+                   '"l_orderkey" contains an invalid value' AS message,
+                   'error' AS severity
+            FROM (SELECT l_orderkey, min(l_linenumber) AS m
+                  FROM lineitem GROUP BY l_orderkey)
+            WHERE m <> 1
+        """,
+        "ds_referential": """
+            SELECT l_orderkey, l_linenumber,
+                   'dataset.link' AS code,
+                   '"l_partkey" contains an invalid value' AS message,
+                   'error' AS severity
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_partkey >= 1900
+        """,
+        "ds_monotone": """
+            SELECT user_id, event_id,
+                   'dataset.sort' AS code,
+                   '"value" must be sorted in ascending order by event_id' AS message,
+                   'error' AS severity
+            FROM (SELECT user_id, event_id, value,
+                         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+                  FROM events)
+            WHERE pv IS NOT NULL AND value < pv
+        """,
+        "stats_exact": """
+            SELECT 'l_quantity' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_d,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_d
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   CAST(max(l_extendedprice) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT l_discount) AS BIGINT),
+                   CAST(min(l_discount) AS DOUBLE),
+                   CAST(max(l_discount) AS DOUBLE)
+            FROM lineitem
+        """,
+        "histogram": """
+            WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                       FROM orders)
+            SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)),
+                              19) AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS count
+            FROM orders, b
+            WHERE o_totalprice IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "psi_drift": """
+            WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS epoch,
+                              o_orderpriority AS bucket
+                       FROM orders WHERE o_orderpriority IS NOT NULL),
+            counts AS (SELECT epoch, bucket, CAST(count(*) AS DOUBLE) AS cnt
+                       FROM d GROUP BY 1, 2),
+            totals AS (SELECT epoch, sum(cnt) AS total FROM counts GROUP BY 1),
+            frac AS (SELECT c.epoch, c.bucket, c.cnt / t.total AS frac
+                     FROM counts c JOIN totals t ON c.epoch = t.epoch),
+            base AS (SELECT bucket, frac AS q FROM frac
+                     WHERE epoch = (SELECT min(epoch) FROM frac)),
+            grid AS (SELECT e.epoch, b.bucket
+                     FROM (SELECT DISTINCT epoch FROM frac
+                           WHERE epoch <> (SELECT min(epoch) FROM frac)) e
+                     CROSS JOIN (SELECT DISTINCT bucket FROM frac) b),
+            j AS (SELECT g.epoch,
+                         coalesce(f.frac, 0) + 1e-6 AS p,
+                         coalesce(bs.q, 0) + 1e-6 AS q
+                  FROM grid g
+                  LEFT JOIN frac f ON g.epoch = f.epoch AND g.bucket = f.bucket
+                  LEFT JOIN base bs ON g.bucket = bs.bucket)
+            SELECT 'o_orderpriority' AS "column", epoch,
+                   CAST((SELECT min(epoch) FROM frac) AS VARCHAR) AS baseline_epoch,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM j GROUP BY epoch ORDER BY epoch
+        """,
+    }

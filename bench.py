@@ -1,0 +1,139 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two workloads:
+1. the ``__spark_entry__.queries()`` suite at ``$SPARK_GRAFT_SF_DIR``
+   (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``;
+2. the headline metric from BASELINE.json — validated turns/sec over a
+   deterministic synthetic transcript table (full schema + dataset-rule
+   bundle, violations + verdicts materialized).
+
+``--scaling`` runs workload 2 at two parallelism levels (local[8] vs
+local[32] — the sandbox proxy for N vs 4N executors) and reports the
+scaling efficiency; results land in BENCH.md via tools/update_bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+TRANSCRIPT_TURNS = int(os.environ.get("JOI_BENCH_TURNS", 2_000_000))
+
+
+def transcript_schema():
+    import joi_spark as joi
+    return joi.object({
+        "conv_id": joi.string().required().pattern("^c[0-9]{6}$"),
+        "turn_idx": joi.number().integer().min(0).required(),
+        "role": joi.string().valid("system", "user", "assistant", "tool")
+                   .required(),
+        "text": joi.string().max(8192),
+        "tool": joi.string().min(1),
+    })
+
+
+def run_transcript_validation(spark, n_turns: int) -> dict:
+    """Headline workload: per-row schema + dataset bundle over a
+    synthetic transcript table; returns timing + throughput."""
+    import joi_spark as joi
+    from joi_spark.operators import dataset as DS
+    from joi_spark.sources.transcripts import (seeded_transcripts,
+                                               tools_dimension)
+
+    turns_per_conv = 20
+    # materialize the synthetic table to parquet ONCE so the timed
+    # section measures validation over a real columnar scan (the
+    # production shape: Iceberg scan → validate), not text synthesis
+    path = f"/tmp/joi_bench_transcripts_{n_turns}.parquet"
+    if not os.path.exists(path):
+        seeded_transcripts(spark, n_convs=n_turns // turns_per_conv,
+                           turns_per_conv=turns_per_conv) \
+            .write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    tools = tools_dimension(spark)
+    schema = transcript_schema()
+    t0 = time.time()
+    res = joi.validate(df, schema, prefs={"abort_early": False})
+    n_row_viol = res.violations().count()
+    n_verdict = res.verdicts(["epoch"]).count()
+    ds = DS.validate_dataset(df, tools_dim=tools)
+    n_ds_viol = ds.count()
+    elapsed = time.time() - t0
+    n_rows = n_turns + 1  # seeded_transcripts adds one duplicate row
+    return {
+        "turns": n_rows,
+        "sec": round(elapsed, 3),
+        "turns_per_sec": round(n_rows / elapsed),
+        "row_violations": n_row_viol,
+        "dataset_violations": n_ds_viol,
+        "partitions_verdicted": n_verdict,
+    }
+
+
+def run_query_suite(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(cpus: str, sf_dir: str, *, with_queries: bool = True) -> dict:
+    from joi_spark.session import get_spark
+    spark = get_spark(master=f"local[{cpus}]")
+    try:
+        queries = run_query_suite(spark, sf_dir) if with_queries else {}
+        transcript = run_transcript_validation(spark, TRANSCRIPT_TURNS)
+    finally:
+        spark.stop()
+    return {"queries": queries, "transcript": transcript}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    if "--scaling" in sys.argv:
+        lo, hi = "8", "32"
+        r_lo = bench_once(lo, sf_dir, with_queries=False)["transcript"]
+        r_hi = bench_once(hi, sf_dir, with_queries=False)["transcript"]
+        eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (int(hi) / int(lo))
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "cores_low": int(lo), "cores_high": int(hi),
+            "turns_per_sec_low": r_lo["turns_per_sec"],
+            "turns_per_sec_high": r_hi["turns_per_sec"],
+            "turns": r_lo["turns"],
+        }))
+        return
+
+    res = bench_once(cpus, sf_dir)
+    total = round(sum(res["queries"].values()) + res["transcript"]["sec"], 3)
+    print(json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf,
+        "validated_turns_per_sec": res["transcript"]["turns_per_sec"],
+        "transcript": res["transcript"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,17 +97,48 @@ def monotone(df: DataFrame, value_col: str, *, conv_col: str = "conv_id",
                                           value_col, msg))
 
 
+def monotone_by_order(df: DataFrame, value_col: str, *,
+                      part_col: str = "conv_id", order_col: str = "turn_idx",
+                      strict: bool = False,
+                      order_by: Sequence[str] | None = None,
+                      seq: int = 1007) -> DataFrame:
+    """Value must not regress along an arbitrary (possibly gapped)
+    ordering column — Joi ``array().sort({by})`` per group
+    (reference: lib/types/array.js:740-813 sort-by-path semantics).
+
+    Window ``lag`` over (part, order): needed when ``order_col`` is not
+    contiguous (so the predecessor self-join of :func:`monotone` can't
+    find idx-1).  NOTE on skew: a window serializes each hot group into
+    one task — for contiguous indexes prefer :func:`monotone`; for
+    skewed non-contiguous groups pre-split with
+    :func:`joi_spark.operators.skew.salted_group_minmax`.
+    """
+    order_by = list(order_by or (part_col, order_col))
+    msg = E.render_static("dataset.sort",
+                          {"label": value_col, "order": "ascending",
+                           "by": order_col})
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    pv = F.col("_pv")
+    cmp_bad = (F.col(value_col) <= pv) if strict else (F.col(value_col) < pv)
+    return (df.withColumn("_pv", F.lag(value_col).over(w))
+              .filter(pv.isNotNull() & cmp_bad)
+              .select(*_violation_cols(order_by, seq, "dataset.sort",
+                                       value_col, msg)))
+
+
 def sparse_gaps(df: DataFrame, *, conv_col: str = "conv_id",
-                idx_col: str = "turn_idx",
+                idx_col: str = "turn_idx", base: int = 0,
                 order_by: Sequence[str] | None = None,
                 seq: int = 1003) -> DataFrame:
     """Missing turn indices — Joi ``array().sparse(false)``
-    (reference: lib/types/array.js:154-164): every turn_idx>0 must have a
-    predecessor row (conv, idx-1).  LEFT ANTI join on the fine-grained
-    key; the violation row is the first row AFTER the gap."""
+    (reference: lib/types/array.js:154-164): every turn_idx>``base`` must
+    have a predecessor row (conv, idx-1).  LEFT ANTI join on the
+    fine-grained key; the violation row is the first row AFTER the gap.
+    ``base`` is the expected first index (0 for transcripts, 1 for
+    1-based sequences)."""
     order_by = list(order_by or (conv_col, idx_col))
     msg = E.render_static("dataset.sparse", {"label": idx_col})
-    cur = df.filter(F.col(idx_col) > 0) \
+    cur = df.filter(F.col(idx_col) > base) \
             .select(*order_by, F.col(conv_col).alias("_c"),
                     F.col(idx_col).alias("_i"))
     prev = df.select(F.col(conv_col).alias("_c"),
@@ -137,9 +168,9 @@ def referential(df: DataFrame, col: str, dim: DataFrame, dim_col: str,
 
 
 def conversation_heads(df: DataFrame, *, conv_col: str = "conv_id",
-                       idx_col: str = "turn_idx",
+                       idx_col: str = "turn_idx", head: int = 0,
                        seq: int = 1005) -> DataFrame:
-    """Every conversation must start at turn 0 — the root-``ref``
+    """Every conversation must start at turn ``head`` — the root-``ref``
     realization (reference: lib/ref.js:111-131 ancestor resolution to the
     value root; the conversation head IS the root at table scale).
 
@@ -149,7 +180,7 @@ def conversation_heads(df: DataFrame, *, conv_col: str = "conv_id",
     msg = E.render_static("dataset.head", {"label": conv_col})
     heads = (df.groupBy(conv_col)
                .agg(F.min(idx_col).alias(idx_col))
-               .filter(F.col(idx_col) != 0))
+               .filter(F.col(idx_col) != head))
     return heads.select(*_violation_cols([conv_col, idx_col], seq,
                                          "dataset.head", conv_col, msg))
 

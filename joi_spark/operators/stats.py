@@ -51,6 +51,40 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None,
                 .select("s.*"))
 
 
+def column_stats_exact(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Exact-count variant of :func:`column_stats` for numeric columns —
+    ``(column, n_rows, n_null, n_distinct, min_d, max_d)``.
+
+    Used where an external oracle must reproduce the numbers bit-exactly
+    (the HLL sketch of ``approx_count_distinct`` is engine-specific).
+    At 100 TB prefer :func:`column_stats`: exact distinct costs a
+    per-column shuffle (Spark expands one row per distinct aggregate),
+    HLL is a constant-size partial aggregate.
+    """
+    columns = list(columns)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacks = []
+    for c in columns:
+        stacks.append(
+            F.struct(F.lit(c).alias("column"),
+                     F.col("n_rows"),
+                     F.col(f"{c}__n_null").alias("n_null"),
+                     F.col(f"{c}__n_distinct").alias("n_distinct"),
+                     F.col(f"{c}__min").alias("min_d"),
+                     F.col(f"{c}__max").alias("max_d")))
+    return (wide.select(F.explode(F.array(*stacks)).alias("s"))
+                .select("s.*"))
+
+
 def value_histogram(df: DataFrame, column: str, *, n_buckets: int = 20,
                     top_k: int | None = None) -> DataFrame:
     """Histogram rows ``(bucket, count)``.
