@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 import joi_spark as joi
 from joi_spark.operators import dataset as DS
+from joi_spark.operators import dedup as DD
 from joi_spark.operators import drift as DR
+from joi_spark.operators import multimodal as MM
+from joi_spark.operators import similarity as SIM
 from joi_spark.operators import stats as ST
+from joi_spark.operators import text as TX
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -204,6 +208,67 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (text / dedup / similarity / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document quality metrics (map-only projection)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.text_metrics(docs)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stopword-scoring language identification."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.language_id(docs)
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix-fingerprint dedup (md5 of first 8 tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_duplicates(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — output
+    must equal the exact n-gram computation (recall check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(docs, max_hamming=8)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-5 neighbors for query vectors 0-9."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, list(range(10)), k=5)
+
+
+def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs ≥ 0.45 (exact all-pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_pairs(emb, threshold=0.45)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    payloads (rows-only: synthetic media, deterministic fake decode)."""
+    media = MM.synthetic_media(spark, 200)
+    return MM.extract_features(media, dim=8).select(
+        "media_id", "kind", "n_bytes", "digest")
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: composite schema over orders at sf0.001 — enum + date
@@ -239,6 +304,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_exact": q_stats_exact,
         "histogram": q_histogram,
         "psi_drift": q_psi_drift,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "fingerprint_dups": q_fingerprint_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near": q_embedding_near,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -431,5 +505,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT min(epoch) FROM frac) AS VARCHAR) AS baseline_epoch,
                    round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM j GROUP BY epoch ORDER BY epoch
+        """,
+        "text_metrics": r"""
+            WITH t AS (SELECT doc_id, text,
+                              string_split_regex(trim(text), '\s+') AS tok
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(tok) AS BIGINT) AS n_tokens,
+                   round((length(text) - (len(tok) - 1)) / len(tok), 6)
+                       AS avg_token_len,
+                   round((length(text) -
+                          length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                         / length(text), 6) AS punct_frac,
+                   round(len(list_distinct(tok)) / len(tok), 6)
+                       AS uniq_token_frac
+            FROM t
+        """,
+        "lang_id": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\s+') AS tok
+                       FROM documents),
+            s AS (SELECT doc_id,
+                round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is','it'))) / len(tok), 6) AS s_en,
+                round(len(list_filter(tok, x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) / len(tok), 6) AS s_de,
+                round(len(list_filter(tok, x -> x IN ('el','la','de','que','y','en','un','es'))) / len(tok), 6) AS s_es,
+                round(len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','une','est'))) / len(tok), 6) AS s_fr,
+                round(len(list_filter(tok, x -> x IN ('的','了','是','我','不','在','有','人'))) / len(tok), 6) AS s_zh
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+                        WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+                        WHEN s_es>=s_en AND s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+                        WHEN s_fr>=s_en AND s_fr>=s_de AND s_fr>=s_es AND s_fr>=s_zh THEN 'fr'
+                        ELSE 'zh' END AS lang_pred,
+                   greatest(s_en, s_de, s_es, s_fr, s_zh) AS lang_score
+            FROM s
+        """,
+        "fingerprint_dups": r"""
+            WITH fp AS (SELECT doc_id,
+                               md5(array_to_string(list_slice(
+                                   string_split_regex(trim(lower(text)), '\s+'),
+                                   1, 8), ' ')) AS fingerprint
+                        FROM documents),
+            k AS (SELECT doc_id, fingerprint,
+                         min(doc_id) OVER (PARTITION BY fingerprint) AS keep
+                  FROM fp)
+            SELECT doc_id, keep AS dup_of, fingerprint
+            FROM k WHERE doc_id <> keep
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)), '\s+') AS tok
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(tok) - 2),
+                              i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS s
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            j AS (SELECT ida, idb, c / (sa.n + sb.n - c) AS jac
+                  FROM common
+                  JOIN sizes sa ON ida = sa.doc_id
+                  JOIN sizes sb ON idb = sb.doc_id)
+            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.8
+        """,
+        "minhash_lsh": r"""
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)), '\s+') AS tok
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(tok) - 2),
+                              i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS s
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            j AS (SELECT ida, idb, c / (sa.n + sb.n - c) AS jac
+                  FROM common
+                  JOIN sizes sa ON ida = sa.doc_id
+                  JOIN sizes sb ON idb = sb.doc_id)
+            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.8
+        """,
+        "cosine_topk": """
+            WITH s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(len(a.embedding)),
+                           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+                              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+                              i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+                       AS cs
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id BETWEEN 0 AND 9),
+            r AS (SELECT query_id, neighbor_id, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, neighbor_id) AS rk
+                  FROM s)
+            SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+                   CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 5
+        """,
+        "embedding_near": """
+            WITH s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(len(a.embedding)),
+                           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+                              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(len(b.embedding)),
+                              i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+                       AS cs
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cs, 6) AS cosine
+            FROM s WHERE round(cs, 6) >= 0.45
         """,
     }

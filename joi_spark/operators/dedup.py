@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's ``array.unique`` (lib/types/array.js:468-558) is
+per-value equality; at corpus scale dedup needs *near*-duplicate
+detection too.  Five tiers, cheapest first:
+
+1. exact       — hash-groupBy on the raw columns (one shuffle);
+2. fingerprint — prefix-hash groupBy (catches head-identical docs);
+3. n-gram Jaccard — exact set overlap via an inverted-index self-join
+   (shuffle on shingle, never a cross join);
+4. MinHash+LSH — signature bands bucket-join candidates, then exact
+   verification; sub-quadratic at any scale;
+5. SimHash     — 64-bit signature, banded chunks + Hamming verify.
+
+Scale notes (the design constraints at 100 TB):
+- NO cross joins anywhere: candidate generation always goes through an
+  equi-join key (shingle, band hash, signature chunk) so Spark shuffles
+  on a fine-grained key and AQE can split skewed buckets.
+- Hot shingles (stop-phrases shared by millions of docs) explode the
+  inverted index quadratically → ``max_shingle_freq`` drops shingles
+  above a document-frequency cap before the self-join (standard
+  inverted-index pruning; a shingle shared by everyone carries no
+  dedup signal).
+- MinHash signatures are 64 independent min-aggregates — partial
+  aggregation (map-side combine) keeps the shuffle tiny: one row per
+  (doc, 64 longs) regardless of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from joi_spark.operators.text import fingerprint, tokens
+
+
+# --- tier 1: exact ---------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, cols: list[str],
+                     id_col: str = "doc_id") -> DataFrame:
+    """Every row whose ``cols`` tuple already occurred (keep-first by
+    ``id_col`` order) — ``(id, dup_of)``.  One shuffle on the value
+    columns; min() is partial-aggregating so skewed duplicate groups
+    combine map-side."""
+    w = Window.partitionBy(*cols)
+    keep = F.min(id_col).over(w)
+    return (df.withColumn("_keep", keep)
+              .filter(F.col(id_col) != F.col("_keep"))
+              .select(F.col(id_col), F.col("_keep").alias("dup_of")))
+
+
+# --- tier 2: fingerprint ---------------------------------------------------
+
+def fingerprint_duplicates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Docs sharing the first-``k``-token md5 fingerprint —
+    ``(id, dup_of, fingerprint)``, keep-first by id."""
+    fp = fingerprint(F.col(text_col), k)
+    w = Window.partitionBy("fingerprint")
+    return (df.select(F.col(id_col), fp.alias("fingerprint"))
+              .withColumn("_keep", F.min(id_col).over(w))
+              .filter(F.col(id_col) != F.col("_keep"))
+              .select(F.col(id_col), F.col("_keep").alias("dup_of"),
+                      "fingerprint"))
+
+
+# --- shared shingling ------------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document as an array column.
+    Higher-order transform over the token array — no UDF."""
+    toks = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
+                   max_shingle_freq: int | None) -> DataFrame:
+    """Inverted index (id, shingle) with optional document-frequency
+    pruning of hot shingles."""
+    idx = (df.select(F.col(id_col).alias("_id"),
+                     F.explode(shingles(F.col(text_col), n)).alias("_sh")))
+    if max_shingle_freq is not None:
+        freq = F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+        idx = idx.withColumn("_df", freq).filter(F.col("_df") <= max_shingle_freq) \
+                 .drop("_df")
+    return idx
+
+
+# --- tier 3: exact n-gram Jaccard ------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact Jaccard similarity over word-``n``-gram shingle sets for
+    every pair sharing ≥1 shingle — ``(id_a, id_b, jaccard)``,
+    ``id_a < id_b``, jaccard ≥ threshold.
+
+    Inverted-index self-join: shuffle keyed on the shingle string, pair
+    counts partial-aggregate.  Cost is Σ df(shingle)² — bounded by
+    ``max_shingle_freq`` pruning, NOT O(N²) in documents.
+    """
+    sizes = df.select(F.col(id_col).alias("_id"),
+                      F.size(shingles(F.col(text_col), n)).alias("_n"))
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
+    a = idx.select(F.col("_id").alias("_ida"), "_sh")
+    b = idx.select(F.col("_id").alias("_idb"), "_sh")
+    common = (a.join(b, "_sh")
+                .filter(F.col("_ida") < F.col("_idb"))
+                .groupBy("_ida", "_idb")
+                .agg(F.count(F.lit(1)).alias("_common")))
+    out = (common
+           .join(sizes.withColumnRenamed("_id", "_ida")
+                      .withColumnRenamed("_n", "_na"), "_ida")
+           .join(sizes.withColumnRenamed("_id", "_idb")
+                      .withColumnRenamed("_n", "_nb"), "_idb")
+           .withColumn("jaccard",
+                       F.col("_common") /
+                       (F.col("_na") + F.col("_nb") - F.col("_common")))
+           .filter(F.col("jaccard") >= threshold)
+           .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# --- tier 4: MinHash + LSH -------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_perm: int = 64) -> DataFrame:
+    """MinHash signature per document: sig[p] = min over shingles of
+    xxhash64(p, shingle) — ``num_perm`` independent partial-aggregating
+    mins in ONE groupBy (map-side combine ⇒ shuffle carries one row per
+    doc).  Returns ``(id, sig array<bigint>)``."""
+    idx = df.select(F.col(id_col).alias("_id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    mins = [F.min(F.xxhash64(F.lit(p), F.col("_sh"))).alias(f"_m{p}")
+            for p in range(num_perm)]
+    sig = idx.groupBy("_id").agg(*mins)
+    return sig.select(F.col("_id").alias(id_col),
+                      F.array(*[F.col(f"_m{p}") for p in range(num_perm)])
+                       .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8,
+                      verify: bool = True) -> DataFrame:
+    """MinHash banding: split the signature into ``bands`` rows of
+    ``num_perm/bands`` values, bucket-join docs sharing any band hash,
+    then (optionally) verify candidates with exact Jaccard.
+
+    Candidate generation is an equi-join on (band_id, band_hash) — the
+    sub-quadratic scale path.  With r = num_perm/bands = 4, a pair at
+    similarity s collides with prob 1-(1-s^4)^16 (≈1 for s ≥ 0.8).
+    Returns ``(id_a, id_b, jaccard)`` like :func:`ngram_jaccard_pairs`.
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
+                      .alias("bh"))
+            for b in range(bands)])).alias("_b"))
+    banded = banded.select("_id", F.col("_b.band").alias("_band"),
+                           F.col("_b.bh").alias("_bh"))
+    a = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
+    b = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
+    cands = (a.join(b, ["_band", "_bh"])
+               .filter(F.col("_ida") < F.col("_idb"))
+               .select("_ida", "_idb").distinct())
+    if not verify:
+        return cands.select(F.col("_ida").alias("id_a"),
+                            F.col("_idb").alias("id_b"))
+    sizes = df.select(F.col(id_col).alias("_id"),
+                      F.size(shingles(F.col(text_col), n)).alias("_n"))
+    idx = df.select(F.col(id_col).alias("_id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    ca = cands.join(idx.withColumnRenamed("_id", "_ida"), "_ida") \
+              .select("_ida", "_idb", "_sh")
+    cb = idx.select(F.col("_id").alias("_idb"), F.col("_sh"))
+    common = (ca.join(cb, ["_idb", "_sh"])
+                .groupBy("_ida", "_idb")
+                .agg(F.count(F.lit(1)).alias("_common")))
+    out = (common
+           .join(sizes.withColumnRenamed("_id", "_ida")
+                      .withColumnRenamed("_n", "_na"), "_ida")
+           .join(sizes.withColumnRenamed("_id", "_idb")
+                      .withColumnRenamed("_n", "_nb"), "_idb")
+           .withColumn("jaccard",
+                       F.col("_common") /
+                       (F.col("_na") + F.col("_nb") - F.col("_common")))
+           .filter(F.col("jaccard") >= threshold)
+           .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# --- tier 5: SimHash -------------------------------------------------------
+
+def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_chunks: int = 4) -> DataFrame:
+    """64-bit SimHash as ``n_chunks`` 16-bit integer chunks
+    ``(id, c0..c3)``: bit b of the signature is the sign of
+    Σ_tokens ±1 at position b of xxhash64(token).
+
+    One explode + one groupBy with 64 partial-aggregating sums —
+    signature width is constant regardless of document size.
+    """
+    bits_per = 64 // n_chunks
+    idx = df.select(F.col(id_col).alias("_id"),
+                    F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
+    h = F.xxhash64(F.col("_t"))
+    sums = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"_s{b}")
+            for b in range(64)]
+    agg = idx.groupBy("_id").agg(*sums)
+    chunk_cols = []
+    for c in range(n_chunks):
+        expr = F.lit(0)
+        for i in range(bits_per):
+            b = c * bits_per + i
+            expr = expr + F.when(F.col(f"_s{b}") > 0,
+                                 F.lit(1 << i)).otherwise(F.lit(0))
+        chunk_cols.append(expr.cast("int").alias(f"c{c}"))
+    return agg.select(F.col("_id").alias(id_col), *chunk_cols)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share ≥1 of 4
+    16-bit chunks (pigeonhole: any pair within Hamming distance 3 MUST
+    share a chunk; ``max_hamming`` up to ~8 still has high recall),
+    verified by exact Hamming distance over the full signature.
+    Equi-join on (chunk_id, chunk_value) — sub-quadratic."""
+    sigs = simhash_chunks(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"), "c0", "c1", "c2", "c3",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
+            for c in range(4)])).alias("_c"))
+    chunks = chunks.select("_id", "c0", "c1", "c2", "c3",
+                           F.col("_c.ci").alias("_ci"),
+                           F.col("_c.cv").alias("_cv"))
+    a = chunks.select(F.col("_id").alias("_ida"),
+                      *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)],
+                      "_ci", "_cv")
+    b = chunks.select(F.col("_id").alias("_idb"),
+                      *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
+                      "_ci", "_cv")
+    ham = sum(F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
+              for c in range(4))
+    return (a.join(b, ["_ci", "_cv"])
+             .filter(F.col("_ida") < F.col("_idb"))
+             .select("_ida", "_idb", *[F.col(f"a{c}") for c in range(4)],
+                     *[F.col(f"b{c}") for c in range(4)])
+             .distinct()
+             .withColumn("hamming", ham.cast("int"))
+             .filter(F.col("hamming") <= max_hamming)
+             .select(F.col("_ida").alias("id_a"),
+                     F.col("_idb").alias("id_b"), "hamming"))
+
+
+# --- embedding near-duplicates --------------------------------------------
+
+def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.9,
+                         block_bits: int = 0) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold —
+    ``(id_a, id_b, cosine)``.
+
+    ``block_bits`` = 0 is the exact all-pairs baseline (self-join —
+    only for modest corpora / verification).  With ``block_bits`` > 0,
+    candidates are restricted to pairs sharing a random-hyperplane
+    sign-bucket (see joi_spark.operators.similarity.rp_buckets) — the
+    sub-quadratic scale path.
+    """
+    from joi_spark.operators.similarity import cosine_expr, rp_buckets
+    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    if block_bits > 0:
+        dim = len(df.select(vec_col).first()[0])
+        ba = rp_buckets(df, id_col, vec_col, n_bits=block_bits, dim=dim) \
+            .withColumnRenamed(id_col, "_ida")
+        bb = ba.withColumnRenamed("_ida", "_idb")
+        pairs = (ba.join(bb, "bucket")
+                   .filter(F.col("_ida") < F.col("_idb"))
+                   .select("_ida", "_idb").distinct()
+                   .join(a, "_ida").join(b, "_idb"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
+    cs = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (pairs.withColumn("cosine", F.round(cs, 6))
+                 .filter(F.col("cosine") >= threshold)
+                 .select(F.col("_ida").alias("id_a"),
+                         F.col("_idb").alias("id_b"), "cosine"))

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID, and document fingerprinting.
+
+These extend the reference's string rule family (reference:
+lib/types/string/index.js — per-value regex/length predicates) to
+corpus-level document profiling.  Everything is built-in Spark SQL
+expressions / higher-order functions — JVM-side, whole-stage-codegen
+eligible, embarrassingly parallel (no shuffle at all for per-document
+metrics; one narrow projection per document).
+
+Scale: per-doc metrics are map-only — they hold trivially at 100 TB.
+Language-ID uses fixed broadcast-literal stopword arrays (no dimension
+join needed at this list size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# minimal function-word lists per language — the classic n-gram/stopword
+# heuristic; deterministic, JVM-evaluated
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "了", "是", "我", "不", "在", "有", "人"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def text_metrics(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics — one narrow projection:
+    ``(id, n_chars, n_tokens, avg_token_len, punct_frac,
+    uniq_token_frac)``.  Map-only; no shuffle."""
+    col = F.col(text_col)
+    toks = tokens(col)
+    n_chars = F.length(col)
+    n_tokens = F.size(toks)
+    alnum = F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+         .alias("avg_token_len"),
+        F.round((n_chars - F.length(alnum)) / n_chars, 6).alias("punct_frac"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 6)
+         .alias("uniq_token_frac"),
+    )
+
+
+def stopword_fraction(col: Column, words: list[str]) -> Column:
+    """Fraction of tokens that appear in ``words`` (broadcast literal
+    set — a higher-order filter, no join)."""
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits / F.size(toks)
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-scoring language identification:
+    score(lang) = fraction of tokens in lang's function-word list;
+    prediction = argmax with fixed priority-order tie-break.
+
+    Returns ``(id, lang_pred, lang_score)``.  Map-only projection —
+    one pass, all languages scored in the same row expression.
+    """
+    col = F.col(text_col)
+    scores = {lang: F.round(stopword_fraction(col, STOPWORDS[lang]), 6)
+              for lang in LANG_ORDER}
+    pred = None
+    for lang in LANG_ORDER:
+        s = scores[lang]
+        cond = F.lit(True)
+        for other in LANG_ORDER:
+            if other != lang:
+                cond = cond & (s >= scores[other])
+        pred = F.when(cond, F.lit(lang)) if pred is None \
+            else pred.when(cond, F.lit(lang))
+    best = F.greatest(*scores.values())
+    return df.select(F.col(id_col), pred.alias("lang_pred"),
+                     best.alias("lang_score"))
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Deterministic document fingerprint: md5 of the first ``k``
+    lowercased tokens — the cheap prefix-dup detector (md5 chosen for
+    external-oracle parity; any stable hash works)."""
+    head = F.array_join(F.slice(tokens(F.lower(col)), 1, k), " ")
+    return F.md5(head)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    return df.select(F.col(id_col),
+                     fingerprint(F.col(text_col), k).alias("fingerprint"))
