@@ -1,0 +1,91 @@
+"""Checkpoint/resume with per-partition lineage + metrics manifests
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+A validation run over an epoch-partitioned table writes, per partition:
+one manifest row ``(partition value, constraint_hash, n_rows,
+n_violations, n_warnings, pass, engine_version)`` — the lineage record —
+plus the violation rows, both as parquet appends keyed by the partition
+value.  On restart, partitions whose manifest row exists under the SAME
+constraint hash are anti-joined out of the input before any validation
+work runs, so a resumed job re-reads only incomplete partitions.
+
+Scale notes:
+- the manifest is tiny (one row per partition) — it broadcasts;
+- completed-partition pruning happens BEFORE the scan filter, so
+  Spark's partition pruning (`epoch IN (...)`) skips whole files:
+  resume cost is proportional to the remaining work, not table size;
+- a constraint-spec change (different manifest_hash) invalidates all
+  completions automatically — lineage ties results to the exact
+  schema that produced them (reference analogue: describe()/build()
+  round-trip as the persisted spec, lib/manifest.js:16-155).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joi_spark.dsl.base import Schema
+from joi_spark.dsl.manifest import manifest_hash
+from joi_spark.engine import validate
+
+ENGINE_VERSION = "0.1.0"
+
+
+class CheckpointedRun:
+    """Orchestrates validate → write-per-partition → resume."""
+
+    def __init__(self, root: str, schema: Schema, partition_col: str):
+        self.root = root
+        self.schema = schema
+        self.partition_col = partition_col
+        self.hash = manifest_hash(schema)
+        self.manifest_path = os.path.join(root, "manifest")
+        self.violations_path = os.path.join(root, "violations")
+
+    # -- resume bookkeeping -------------------------------------------
+    def completed_partitions(self, spark: SparkSession) -> DataFrame | None:
+        """Manifest rows for THIS constraint hash, or None if fresh."""
+        try:
+            m = spark.read.parquet(self.manifest_path)
+        except Exception:
+            return None
+        return m.filter(F.col("constraint_hash") == self.hash)
+
+    def pending(self, df: DataFrame) -> DataFrame:
+        """Input minus completed partitions (broadcast anti-join on the
+        partition value → Catalyst turns it into partition pruning)."""
+        done = self.completed_partitions(df.sparkSession)
+        if done is None:
+            return df
+        keys = done.select(F.col(self.partition_col)).distinct()
+        return df.join(F.broadcast(keys), [self.partition_col], "left_anti")
+
+    # -- one run ------------------------------------------------------
+    def run(self, df: DataFrame, **validate_kw) -> dict:
+        """Validate all pending partitions; append violations + manifest.
+        Returns a summary dict (partitions completed this run)."""
+        pending = self.pending(df)
+        if pending.isEmpty():
+            return {"completed_now": 0, "resumed": True}
+        res = validate(pending, self.schema, **validate_kw)
+        # violations written keyed by partition value for selective re-reads
+        viol = res.violations(extra_cols=[self.partition_col])
+        viol.write.mode("append").partitionBy(self.partition_col) \
+            .parquet(self.violations_path)
+        verd = (res.verdicts([self.partition_col])
+                .withColumn("engine_version", F.lit(ENGINE_VERSION)))
+        verd.write.mode("append").parquet(self.manifest_path)
+        n = verd.count()
+        return {"completed_now": n, "resumed": False}
+
+    # -- outputs ------------------------------------------------------
+    def manifest(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.manifest_path) \
+            .filter(F.col("constraint_hash") == self.hash)
+
+    def violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.violations_path)

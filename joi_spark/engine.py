@@ -41,53 +41,76 @@ class ValidationResult:
         self.table_errors = list(plan.table_errors)
         self._checked: DataFrame | None = None
 
-    # -- stage 2+3: checked frame -------------------------------------
+    # -- stage 2: renamed frame + cheap pass/fail booleans ------------
+    # Violation structs (messages!) are only materialized for FAILING
+    # rows — the filter runs on the plain boolean conjunction first,
+    # mirroring the reference's lazy message rendering
+    # (reference: lib/errors.js:60-78).  On a clean table the whole
+    # validation is one codegen'd conjunction, ~5× cheaper than
+    # building per-row arrays.
+    @property
+    def _renamed(self) -> DataFrame:
+        df = self._df
+        for frm, to in self.plan.renames:
+            df = df.withColumnRenamed(frm, to)
+        return df
+
+    def _ok_expr(self, severity: str = "error") -> Column:
+        ok = F.lit(True)
+        for c in self.plan.checks:
+            if c.severity == severity:
+                ok = ok & c.predicate
+        return ok
+
+    def _violation_array(self) -> Column:
+        entries = []
+        for c in self.plan.checks:
+            entries.append(
+                F.when(~c.predicate,
+                       F.struct(F.lit(c.seq).alias("seq"),
+                                F.lit(c.code).alias("code"),
+                                F.lit(c.path).alias("path"),
+                                c.message.cast("string").alias("message"),
+                                F.lit(c.severity).alias("severity"))))
+        if entries:
+            arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        else:
+            arr = F.array().cast(
+                "array<struct<seq:int,code:string,path:string,"
+                "message:string,severity:string>>")
+        errors = F.filter(arr, lambda x: x["severity"] == F.lit("error"))
+        warnings = F.filter(arr, lambda x: x["severity"] == F.lit("warn"))
+        if self.abort_early:
+            # report first failing rule per row, matching the
+            # reference's per-value abortEarly order
+            # (reference: lib/validator.js:308-311; SURVEY.md §4)
+            errors = F.slice(errors, 1, 1)
+        return F.concat(errors, warnings)
+
     @property
     def checked(self) -> DataFrame:
-        """Input + ``_ok`` boolean + ``_violations`` array<struct>."""
+        """Input + ``_ok`` boolean (errors only; warnings don't fail)."""
         if self._checked is None:
-            df = self._df
-            for frm, to in self.plan.renames:
-                df = df.withColumnRenamed(frm, to)
-            entries = []
-            for c in self.plan.checks:
-                entries.append(
-                    F.when(~c.predicate,
-                           F.struct(F.lit(c.seq).alias("seq"),
-                                    F.lit(c.code).alias("code"),
-                                    F.lit(c.path).alias("path"),
-                                    c.message.cast("string").alias("message"),
-                                    F.lit(c.severity).alias("severity"))))
-            if entries:
-                arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
-            else:
-                arr = F.array().cast(
-                    "array<struct<seq:int,code:string,path:string,"
-                    "message:string,severity:string>>")
-            errors = F.filter(arr, lambda x: x["severity"] == F.lit("error"))
-            warnings = F.filter(arr, lambda x: x["severity"] == F.lit("warn"))
-            if self.abort_early:
-                # report first failing rule per row, matching the
-                # reference's per-value abortEarly order
-                # (reference: lib/validator.js:308-311; SURVEY.md §4)
-                errors = F.slice(errors, 1, 1)
-            violations = F.concat(errors, warnings)
-            self._checked = df.withColumn("_violations", violations) \
-                              .withColumn("_ok", F.size(F.filter(
-                                  F.col("_violations"),
-                                  lambda x: x["severity"] == F.lit("error"))) == 0)
+            self._checked = self._renamed.withColumn("_ok", self._ok_expr())
         return self._checked
 
     # -- outputs ---------------------------------------------------------
-    def violations(self, include_warnings: bool = True) -> DataFrame:
+    def violations(self, include_warnings: bool = True,
+                   extra_cols: Sequence[str] = ()) -> DataFrame:
         """One row per (row, failed rule), ordered by ``order_by`` then
-        rule sequence — the stable reporting contract."""
-        v = (self.checked
-             .filter(F.size("_violations") > 0)
+        rule sequence — the stable reporting contract.  ``extra_cols``
+        prepends passthrough columns (e.g. the partition column)."""
+        fail = ~self._ok_expr()
+        if include_warnings and any(c.severity == "warn"
+                                    for c in self.plan.checks):
+            fail = fail | ~self._ok_expr("warn")
+        v = (self._renamed
+             .filter(fail)
+             .withColumn("_violations", self._violation_array())
              .withColumn("_v", F.explode("_violations")))
         if not include_warnings:
             v = v.filter(F.col("_v.severity") == "error")
-        out = v.select(*self.order_by,
+        out = v.select(*extra_cols, *self.order_by,
                        F.col("_v.seq").alias("seq"),
                        F.col("_v.code").alias("code"),
                        F.col("_v.path").alias("path"),
@@ -115,20 +138,29 @@ class ValidationResult:
     converted = value
 
     def verdicts(self, partition_by: Sequence[str]) -> DataFrame:
-        """Per-partition pass/fail manifest rows (north_rule output (a))."""
+        """Per-partition pass/fail manifest rows (north_rule output (a)).
+
+        Violation counts come from summing per-check failure ints — a
+        plain partial-aggregating projection, no struct arrays; the
+        whole verdict is one codegen'd scan + tiny shuffle."""
         mh = manifest_hash(self.schema)
-        return (self.checked
+        err_cnt = F.lit(0)
+        warn_cnt = F.lit(0)
+        for c in self.plan.checks:
+            term = (~c.predicate).cast("long")
+            if c.severity == "error":
+                err_cnt = err_cnt + term
+            else:
+                warn_cnt = warn_cnt + term
+        return (self._renamed
+                .withColumn("_ec", err_cnt)
+                .withColumn("_wc", warn_cnt)
                 .groupBy(*partition_by)
                 .agg(F.count(F.lit(1)).alias("n_rows"),
-                     F.sum(F.size(F.filter(
-                         F.col("_violations"),
-                         lambda x: x["severity"] == F.lit("error"))))
-                      .alias("n_violations"),
-                     F.sum(F.size(F.filter(
-                         F.col("_violations"),
-                         lambda x: x["severity"] == F.lit("warn"))))
-                      .alias("n_warnings"),
-                     F.min(F.col("_ok").cast("int")).cast("boolean").alias("pass"))
+                     F.sum("_ec").alias("n_violations"),
+                     F.sum("_wc").alias("n_warnings"),
+                     F.min((F.col("_ec") == 0).cast("int")).cast("boolean")
+                      .alias("pass"))
                 .withColumn("constraint_hash", F.lit(mh))
                 .orderBy(*partition_by))
 

@@ -58,11 +58,9 @@ def unique_rows(df: DataFrame, keys: Sequence[str],
     label = ", ".join(keys)
     msg = E.render_static("dataset.unique", {"label": label})
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    wc = Window.partitionBy(*keys)
     return (df
             .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_cnt", F.count(F.lit(1)).over(wc))
-            .filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+            .filter(F.col("_rn") > 1)   # rn>1 ⇔ duplicate; one window pass
             .select(*_violation_cols(order_by, seq, "dataset.unique",
                                      label, msg)))
 
@@ -141,11 +139,52 @@ def sparse_gaps(df: DataFrame, *, conv_col: str = "conv_id",
     cur = df.filter(F.col(idx_col) > base) \
             .select(*order_by, F.col(conv_col).alias("_c"),
                     F.col(idx_col).alias("_i"))
+    # no distinct on the anti-join's right side: duplicates can't
+    # multiply rows through an existence check, and skipping it saves a
+    # full dedup shuffle
     prev = df.select(F.col(conv_col).alias("_c"),
-                     (F.col(idx_col) + 1).alias("_i")).distinct()
+                     (F.col(idx_col) + 1).alias("_i"))
     missing = cur.join(prev, ["_c", "_i"], "left_anti")
     return missing.select(*_violation_cols(order_by, seq, "dataset.sparse",
                                            idx_col, msg))
+
+
+def sequence_violations(df: DataFrame, value_col: str = "ts", *,
+                        conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                        base: int = 0, strict: bool = False,
+                        order_by: Sequence[str] | None = None,
+                        gap_seq: int = 1003, sort_seq: int = 1002) -> DataFrame:
+    """Fused gap + ordering check: ONE predecessor left-outer self-join
+    on (conv, idx-1) yields both ``dataset.sparse`` (predecessor row
+    missing, ≙ array.sparse(false)) and ``dataset.sort`` (value
+    regressed vs predecessor, ≙ array.sort) violations.
+
+    Halves the scan+shuffle cost of running :func:`sparse_gaps` and
+    :func:`monotone` separately — same fine-grained join key, so the
+    skew properties are identical."""
+    order_by = list(order_by or (conv_col, idx_col))
+    gap_msg = E.render_static("dataset.sparse", {"label": idx_col})
+    sort_msg = E.render_static("dataset.sort",
+                               {"label": value_col, "order": "ascending",
+                                "by": idx_col})
+    cur = df.select(*order_by, F.col(conv_col).alias("_c"),
+                    F.col(idx_col).alias("_i"),
+                    F.col(value_col).alias("_v"))
+    prev = (df.select(F.col(conv_col).alias("_c"),
+                      (F.col(idx_col) + 1).alias("_i"),
+                      F.col(value_col).alias("_pv"))
+              .withColumn("_present", F.lit(True)))
+    j = cur.join(prev, ["_c", "_i"], "left")
+    gaps = (j.filter(F.col("_present").isNull() & (F.col("_i") > base))
+             .select(*_violation_cols(order_by, gap_seq, "dataset.sparse",
+                                      idx_col, gap_msg))
+             .distinct())
+    cmp_bad = (F.col("_v") <= F.col("_pv")) if strict else \
+              (F.col("_v") < F.col("_pv"))
+    sorts = (j.filter(F.col("_present").isNotNull() & cmp_bad)
+              .select(*_violation_cols(order_by, sort_seq, "dataset.sort",
+                                       value_col, sort_msg)))
+    return gaps.unionAll(sorts)
 
 
 def referential(df: DataFrame, col: str, dim: DataFrame, dim_col: str,
@@ -222,9 +261,9 @@ def validate_dataset(df: DataFrame, *, tools_dim: DataFrame | None = None,
     order_by = [conv_col, idx_col]
     parts = [
         unique_rows(df, [conv_col, idx_col]),
-        sparse_gaps(df, conv_col=conv_col, idx_col=idx_col),
-        monotone(df, ts_col, conv_col=conv_col, idx_col=idx_col,
-                 strict=False),
+        # fused gap+ordering check: one self-join instead of two
+        sequence_violations(df, ts_col, conv_col=conv_col, idx_col=idx_col,
+                            strict=False),
     ]
     if tools_dim is not None:
         parts.append(referential(df, tool_col, tools_dim, "tool_name",

@@ -285,7 +285,12 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     sub-quadratic scale path.
     """
     from joi_spark.operators.similarity import cosine_expr, rp_buckets
-    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    # spread the left side: a broadcast-NL join's output parallelism is
+    # the LEFT side's partition count, and a small table often arrives
+    # in 1-2 partitions — repartition so the O(n²) cosine work fans out
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")) \
+          .repartition(par)
     b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
     if block_bits > 0:
         dim = len(df.select(vec_col).first()[0])

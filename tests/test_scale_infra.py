@@ -1,0 +1,110 @@
+"""Scale infrastructure: salted skew handling, checkpoint/resume."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import joi_spark as joi
+from joi_spark.checkpoint import CheckpointedRun
+from joi_spark.operators import skew as SK
+from joi_spark.sources.transcripts import clean_transcripts
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    from joi_spark.sources.transcripts import skewed_transcripts
+    df = skewed_transcripts(spark, hot_turns=5000, n_small_convs=50,
+                            turns_per_small=10)
+    df.persist(); df.count()
+    return df
+
+
+def test_salted_counts_match_plain(skewed):
+    plain = {r["conv_id"]: r["n"] for r in
+             skewed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    salted = {r["conv_id"]: r["n_turns"] for r in
+              SK.salted_group_counts(skewed).collect()}
+    assert salted == plain
+    assert salted["c_hot"] == 5000
+
+
+def test_salted_minmax_match_plain(skewed):
+    plain = {r["conv_id"]: (r["mn"], r["mx"]) for r in
+             skewed.groupBy("conv_id")
+                   .agg(F.min("turn_idx").alias("mn"),
+                        F.max("turn_idx").alias("mx")).collect()}
+    salted = {r["conv_id"]: (r["min_v"], r["max_v"]) for r in
+              SK.salted_group_minmax(skewed, "turn_idx").collect()}
+    assert salted == plain
+
+
+def test_salted_sizes_violations(skewed):
+    v = SK.salted_conversation_sizes(skewed, min_turns=5, max_turns=100)
+    rows = {r["conv_id"]: r["code"] for r in v.collect()}
+    assert rows == {"c_hot": "array.max"}
+
+
+def test_salted_repartition_partitioning(skewed):
+    out = SK.salted_repartition(skewed, ["conv_id"], "turn_idx", salt=8,
+                                num_partitions=8)
+    # hot conversation must span >1 partition after salting
+    n_parts = (out.filter(F.col("conv_id") == "c_hot")
+                  .select(F.spark_partition_id().alias("p"))
+                  .distinct().count())
+    assert n_parts > 1
+
+
+# --- checkpoint/resume -----------------------------------------------------
+
+@pytest.fixture()
+def ckpt_dir():
+    d = tempfile.mkdtemp(prefix="joi_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _schema():
+    return joi.object({
+        "role": joi.string().valid("system", "user", "assistant", "tool")
+                   .required(),
+    })
+
+
+def test_checkpoint_run_and_resume(spark, ckpt_dir):
+    df = clean_transcripts(spark, n_convs=20, turns_per_conv=10, n_epochs=4)
+    run = CheckpointedRun(ckpt_dir, _schema(), "epoch")
+    r1 = run.run(df)
+    assert r1 == {"completed_now": 4, "resumed": False}
+    # second invocation: everything complete → no work
+    r2 = run.run(df)
+    assert r2 == {"completed_now": 0, "resumed": True}
+    m = run.manifest(spark)
+    assert m.count() == 4
+    assert m.filter(~F.col("pass")).count() == 0
+
+
+def test_checkpoint_partial_resume(spark, ckpt_dir):
+    df = clean_transcripts(spark, n_convs=20, turns_per_conv=10, n_epochs=4)
+    run = CheckpointedRun(ckpt_dir, _schema(), "epoch")
+    # first run sees only epochs 0-1; second run completes the rest
+    run.run(df.filter(F.col("epoch") < 2))
+    r2 = run.run(df)
+    assert r2["completed_now"] == 2
+    assert run.manifest(spark).count() == 4
+
+
+def test_checkpoint_schema_change_invalidates(spark, ckpt_dir):
+    df = clean_transcripts(spark, n_convs=10, turns_per_conv=10, n_epochs=2)
+    run = CheckpointedRun(ckpt_dir, _schema(), "epoch")
+    run.run(df)
+    changed = joi.object({"role": joi.string().valid("system").required()})
+    run2 = CheckpointedRun(ckpt_dir, changed, "epoch")
+    r = run2.run(df)
+    assert r["completed_now"] == 2          # re-validated under new hash
+    assert run2.manifest(spark).count() == 2
+    assert run2.manifest(spark).filter(~F.col("pass")).count() == 2
