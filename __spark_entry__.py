@@ -207,6 +207,59 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("psi", F.round("psi", 6))
 
 
+def q_alternatives_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alternatives().try_() — first-match-wins OR composition
+    (reference: lib/types/alternatives.js:33-114)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "event_type": joi.alternatives(
+            joi.string().valid("view", "click"),
+            joi.string().pattern("^sign")),
+    })
+    res = joi.validate(ev, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
+def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extend()/custom() plugin rule compiled to a Column predicate
+    (reference: lib/extend.js:58-104)."""
+    li = _t(spark, sf_dir, "lineitem")
+    schema = joi.object({
+        "l_quantity": joi.number().custom(
+            lambda col, ctx: col % 5 == 0,
+            message='"l_quantity" must be a multiple of five'),
+    })
+    res = joi.validate(li, schema, prefs={"abort_early": False},
+                       order_by=["l_orderkey", "l_linenumber"])
+    return res.violations().select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_deps_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object().without() presence dependency (reference:
+    lib/types/object.js:448-453,834-849)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "props": joi.string(),
+        "value": joi.number(),
+    }).without("props", ["value"])
+    res = joi.validate(ev, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return (res.violations().filter(F.col("code") == "object.without")
+               .select("event_id", *_VCOLS))
+
+
+def q_rename_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object().rename() before validation + conversion output
+    (reference: lib/types/object.js:886-967)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "kind": joi.string().uppercase(),
+    }).rename("event_type", "kind")
+    res = joi.validate(ev, schema)
+    return res.value.select("event_id", "kind")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (text / dedup / similarity / multimodal)
 # ---------------------------------------------------------------------------
@@ -304,6 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_exact": q_stats_exact,
         "histogram": q_histogram,
         "psi_drift": q_psi_drift,
+        "alternatives_or": q_alternatives_or,
+        "custom_rule": q_custom_rule,
+        "deps_without": q_deps_without,
+        "rename_convert": q_rename_convert,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "fingerprint_dups": q_fingerprint_dups,
@@ -505,6 +562,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT min(epoch) FROM frac) AS VARCHAR) AS baseline_epoch,
                    round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM j GROUP BY epoch ORDER BY epoch
+        """,
+        "alternatives_or": """
+            SELECT event_id,
+                   'alternatives.any' AS code,
+                   '"event_type" does not match any of the allowed types' AS message,
+                   'error' AS severity
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('view', 'click')
+              AND NOT regexp_matches(event_type, '^sign')
+        """,
+        "custom_rule": """
+            SELECT l_orderkey, l_linenumber,
+                   'any.custom' AS code,
+                   '"l_quantity" must be a multiple of five' AS message,
+                   'error' AS severity
+            FROM lineitem WHERE l_quantity % 5 <> 0
+        """,
+        "deps_without": """
+            SELECT event_id,
+                   'object.without' AS code,
+                   '"props" conflict with forbidden peer "value"' AS message,
+                   'error' AS severity
+            FROM events
+            WHERE props IS NOT NULL AND value IS NOT NULL
+        """,
+        "rename_convert": """
+            SELECT event_id, upper(event_type) AS kind FROM events
         """,
         "text_metrics": r"""
             WITH t AS (SELECT doc_id, text,

@@ -82,6 +82,18 @@ def alternatives(*schemas) -> AlternativesSchema:
     return s
 
 
+def link(target: str) -> "LinkSchema":
+    """Reuse a shared schema by id (reference: lib/types/link.js)."""
+    from joi_spark.dsl.objects import LinkSchema
+    return LinkSchema(target)
+
+
+def extend(name, base=None, rules=None, messages=None):
+    """Register a custom schema type (reference: lib/extend.js:11-135)."""
+    from joi_spark.extend import extend as _extend
+    return _extend(name, base=base, rules=rules, messages=messages)
+
+
 def is_schema(v) -> bool:
     return isinstance(v, Schema)
 
@@ -107,7 +119,7 @@ __all__ = [
     "Schema", "Ref", "ref", "is_ref", "is_schema", "compile", "build",
     "manifest_hash", "manifest_json",
     "any_", "string", "number", "boolean", "bool_", "date", "array",
-    "binary", "object", "alternatives",
+    "binary", "object", "alternatives", "link", "extend",
     "required", "forbidden", "valid", "invalid",
     "validate", "assert_table", "ValidationResult", "TableValidationError",
 ]

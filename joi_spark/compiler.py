@@ -80,12 +80,14 @@ class CompileError(ValueError):
 
 class _Ctx:
     def __init__(self, columns: list[str], conversions: dict[str, Column],
-                 prefs: dict, context: dict):
+                 prefs: dict, context: dict,
+                 shared: dict | None = None):
         self.columns = columns
         self.conversions = conversions   # converted sibling exprs (shadow
                                          # semantics, lib/validator.js:414-418)
         self.prefs = prefs
         self.context = context
+        self.shared = shared or {}       # id → schema for link() resolution
         self.seq = 0
 
     def next_seq(self) -> int:
@@ -373,23 +375,37 @@ def value_predicate(schema: Schema, ctx: _Ctx) -> Callable[[Column], Column]:
             for r in schema._invalids.refs:
                 bad = bad | (col == ctx.resolve(r))
             parts.append(~bad)
-        if schema.type == "string":
+        if schema.type == "alternatives":
+            alts = [value_predicate(m, ctx)(col)
+                    for m in (schema._terms.get("matches") or [])]
+            if alts:
+                parts.append(_or_all(alts))
+        for rule in schema._rules:
+            if rule.name == "custom":
+                parts.append(rule.args["builder"](col, ctx))
+        if schema.kind == "string":
             parts.append(col.cast("string") != F.lit(""))
             for rule in schema._rules:
+                if rule.name == "custom":
+                    continue
                 for p, _, _ in _string_rule(rule, col.cast("string"), ctx, "", {}):
                     parts.append(p)
-        elif schema.type == "number":
+        elif schema.kind == "number":
             c = col.cast("double")
             parts.append(~F.isnan(c))
             for rule in schema._rules:
+                if rule.name == "custom":
+                    continue
                 for p, _, _ in _number_rule(rule, c, ctx):
                     parts.append(p)
-        elif schema.type == "date":
+        elif schema.kind == "date":
             c = col.cast("timestamp")
             for rule in schema._rules:
+                if rule.name == "custom":
+                    continue
                 for p, _, _ in _date_rule(rule, c, ctx):
                     parts.append(p)
-        elif schema.type == "boolean":
+        elif schema.kind == "boolean":
             pass
         out = F.lit(True)
         for p in parts:
@@ -409,7 +425,7 @@ def _coerce(schema: Schema, col: Column, dtype: T.DataType, ctx: _Ctx,
     coerce blocks).  Returns (converted expr, base-type failure checks)."""
     checks: list[tuple[Column, str, dict]] = []
     convert = ctx.prefs["convert"]
-    t = schema.type
+    t = schema.kind
 
     if t == "string":
         conv = col if _is_string_like(dtype) else col.cast("string")
@@ -550,22 +566,39 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                    plan: CompiledPlan, *, cond: Column | None = None) -> None:
     """Emit conversion + checks for one column.  ``cond`` guards every
     check (used by when/conditional schemas)."""
+    if schema.type == "link":
+        # late-bound schema reuse (reference: lib/types/link.js:35-59):
+        # resolve against object().shared(...) registrations and compile
+        # the target in place (depth 1 — flat table columns can't recurse)
+        target_id = schema._flags.get("link_target")
+        target = ctx.shared.get(target_id)
+        if target is None:
+            raise CompileError(f"link('#{target_id}') has no shared() target")
+        compile_column(target, name, dtype, ctx, plan, cond=cond)
+        return
     col = F.col(name)
     label = _label(schema, name)
     overrides = schema._messages
     prefs = {**ctx.prefs, **(schema._preferences or {})}
-    local = _Ctx(ctx.columns, ctx.conversions, prefs, ctx.context)
+    local = _Ctx(ctx.columns, ctx.conversions, prefs, ctx.context,
+                 shared=ctx.shared)
     local.seq = ctx.seq
 
     def emit(pred: Column, code: str, mctx: dict, *, guard: Column | None = None,
              severity: str = "error", message_override: str | None = None,
-             value_col: Column | None = None):
+             value_col: Column | None = None,
+             dynamic_message: Column | None = None):
         mctx = {"label": label, **mctx}
         ov = dict(overrides)
         if message_override:
             ov[code] = message_override
-        msg = E.render_column(code, mctx, value_col if value_col is not None else col,
-                              overrides=ov)
+        if dynamic_message is not None:
+            msg = F.coalesce(dynamic_message.cast("string"),
+                             F.lit(E.render_static(code, mctx, overrides=ov)))
+        else:
+            msg = E.render_column(code, mctx,
+                                  value_col if value_col is not None else col,
+                                  overrides=ov)
         okc = F.coalesce(pred, F.lit(False))
         g = guard
         if cond is not None:
@@ -652,20 +685,26 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
 
     # 7. rules in chain order (reference: lib/validator.js:260-320)
     compile_vp = lambda s: value_predicate(s, local)
+    kind = schema.kind
     for rule in schema._rules:
         if rule.convert_only and prefs["convert"]:
             continue  # handled by conversion (reference: lib/validator.js:269-273)
-        if schema.type == "string":
+        if rule.name == "custom":
+            # plugin rule: builder(col, ctx) -> boolean Column
+            # (reference: lib/extend.js:58-104 custom validate, vectorized)
+            pred = rule.args["builder"](conv, local)
+            triples = [(pred, rule.args.get("code", "any.custom"), {})]
+        elif kind == "string":
             triples = _string_rule(rule, conv, local, label, overrides)
-        elif schema.type == "number":
+        elif kind == "number":
             if rule.name == "precision" and prefs["convert"]:
                 continue  # rounding applied in coercion
             triples = _number_rule(rule, conv, local)
-        elif schema.type == "date":
+        elif kind == "date":
             triples = _date_rule(rule, conv, local)
-        elif schema.type == "array":
+        elif kind == "array":
             triples = _array_rule(rule, conv, local, compile_vp)
-        elif schema.type == "binary":
+        elif kind == "binary":
             triples = _binary_rule(rule, conv, local)
         else:
             raise CompileError(
@@ -698,6 +737,22 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
     if schema.type == "array" and schema._flags.get("sparse") is False:
         emit(~F.exists(conv, lambda x: x.isNull()), "array.sparse", {},
              guard=rule_guard)
+
+    # alternatives: first-match-wins degenerates to OR for pass/fail
+    # (reference: lib/types/alternatives.js:33-91)
+    if schema.type == "alternatives" and schema._terms.get("matches"):
+        preds = [value_predicate(m, local)(conv)
+                 for m in schema._terms["matches"]]
+        emit(_or_all(preds), "alternatives.any", {}, guard=rule_guard)
+
+    # external hooks: Arrow-batched post-validation
+    # (reference: lib/base.js:152-157, lib/validator.js:51-86)
+    for ext in schema._terms.get("externals") or []:
+        from joi_spark.functions.udfs import external_message_udf
+        msg_col = external_message_udf(ext["method"])(conv)
+        emit(msg_col.isNull(), ext.get("code", "external.check"), {},
+             guard=rule_guard, severity="error",
+             value_col=conv, dynamic_message=msg_col)
 
     # conditional whens (reference: lib/base.js:319-365) ----------------
     for w in schema._terms.get("whens") or []:
@@ -772,7 +827,8 @@ def compile_table(schema: Schema, df: DataFrame, *,
     context = {**merged_prefs.get("context", {}), **(context or {})}
     plan = CompiledPlan()
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    ctx = _Ctx(list(df.columns), {}, merged_prefs, context)
+    ctx = _Ctx(list(df.columns), {}, merged_prefs, context,
+               shared=dict(schema._terms.get("shared") or {}))
 
     if not isinstance(schema, ObjectSchema):
         raise CompileError("compile_table requires an object() schema; "

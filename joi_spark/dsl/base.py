@@ -301,6 +301,36 @@ class Schema:
         n._rules[-1].warn = True
         return n
 
+    # -- plugin surface (reference: lib/extend.js custom rules; external
+    # hooks lib/base.js:152-157) --------------------------------------
+    def custom(self, builder, *, code: str = "any.custom",
+               message: str | None = None) -> "Schema":
+        """Register a vectorized custom rule: ``builder(col, ctx) ->
+        boolean Column`` (True = pass).  The Spark analogue of the
+        reference's per-value custom validate callbacks
+        (lib/extend.js:58-104) — the callback receives the whole COLUMN
+        and must return a Column expression (or a pandas-UDF call for
+        non-expressible logic), never per-row Python."""
+        return self._add_rule("custom", {"builder": builder, "code": code},
+                              message=message)
+
+    def external(self, method, *, code: str = "external.check") -> "Schema":
+        """Arrow-batched post-validation hook (reference:
+        lib/base.js:152-157, applied lib/validator.js:51-86).
+        ``method(values: pandas.Series) -> pandas.Series[str | None]`` —
+        a non-null string is the violation message for that row."""
+        n = self.clone()
+        n._terms["externals"] = list(n._terms.get("externals") or []) + \
+            [{"method": method, "code": code}]
+        return n
+
+    @property
+    def kind(self) -> str:
+        """Compile-time dispatch type: equals ``type`` for built-ins;
+        extended types (joi_spark.extend) keep their base's kind so
+        base coercion/rules still compile."""
+        return getattr(self, "_kind", None) or self.type
+
     def rule(self, *, message: str | None = None, warn: bool = False,
              keep: bool = False) -> "Schema":
         """Apply options to the last rule (reference: lib/base.js:513-535)."""

@@ -128,6 +128,20 @@ class ObjectSchema(Schema):
     def max(self, limit: int) -> "ObjectSchema":
         return self._add_rule("max", {"limit": limit})
 
+    # -- shared registrations for link() (reference: lib/base.js shared /
+    # lib/types/link.js) -------------------------------------------------
+    def shared(self, schema: Schema) -> "ObjectSchema":
+        """Register a schema (carrying an ``.id(...)`` flag) for reuse by
+        ``joi_spark.link('#id')`` keys in this object."""
+        sid = schema._flags.get("id")
+        if not sid:
+            raise ValueError("shared() requires the schema to carry .id(...)")
+        n = self.clone()
+        shared = dict(n._terms.get("shared") or {})
+        shared[sid] = schema
+        n._terms["shared"] = shared
+        return n
+
     # -- pattern keys (reference: lib/types/object.js:340-370) -----------
     def pattern(self, regex: str | re.Pattern, rule: Schema) -> "ObjectSchema":
         if isinstance(regex, re.Pattern):
@@ -137,6 +151,21 @@ class ObjectSchema(Schema):
         pats.append({"regex": regex, "rule": rule})
         n._terms["patterns"] = pats
         return n
+
+
+class LinkSchema(Schema):
+    """Late-bound reuse of a shared schema node by id (reference:
+    lib/types/link.js:35-59).  At table scale, cross-TABLE links are
+    realized as referential-integrity anti-joins
+    (joi_spark.operators.dataset.referential); in-schema links resolve
+    at compile time against ``object().shared(...)`` registrations."""
+
+    type = "link"
+
+    def __init__(self, target: str | None = None):
+        super().__init__()
+        if target is not None:
+            self._flags["link_target"] = target.lstrip("#")
 
 
 class AlternativesSchema(Schema):

@@ -96,10 +96,13 @@ class ValidationResult:
 
     # -- outputs ---------------------------------------------------------
     def violations(self, include_warnings: bool = True,
-                   extra_cols: Sequence[str] = ()) -> DataFrame:
+                   extra_cols: Sequence[str] = (),
+                   sort: bool = True) -> DataFrame:
         """One row per (row, failed rule), ordered by ``order_by`` then
         rule sequence — the stable reporting contract.  ``extra_cols``
-        prepends passthrough columns (e.g. the partition column)."""
+        prepends passthrough columns (e.g. the partition column);
+        ``sort=False`` skips the global ordering (required for
+        streaming sinks, where sorting is unsupported)."""
         fail = ~self._ok_expr()
         if include_warnings and any(c.severity == "warn"
                                     for c in self.plan.checks):
@@ -116,7 +119,7 @@ class ValidationResult:
                        F.col("_v.path").alias("path"),
                        F.col("_v.message").alias("message"),
                        F.col("_v.severity").alias("severity"))
-        if self.order_by:
+        if sort and self.order_by:
             out = out.orderBy(*self.order_by, "seq")
         return out
 

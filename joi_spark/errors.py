@@ -149,6 +149,20 @@ BINARY_MESSAGES = {
     "binary.min": '"{{#label}}" must be at least {{#limit}} bytes',
 }
 
+# reference: lib/types/alternatives.js:280-287
+ALTERNATIVES_MESSAGES = {
+    "alternatives.any": '"{{#label}}" does not match any of the allowed types',
+    "alternatives.match": '"{{#label}}" does not match any of the allowed types',
+    "alternatives.base": '"{{#label}}" does not match any of the allowed types',
+}
+
+# plugin / external surface (engine codes; reference analogues:
+# any.custom in later Joi versions, external errors lib/validator.js:75-86)
+PLUGIN_MESSAGES = {
+    "any.custom": '"{{#label}}" failed custom validation',
+    "external.check": '"{{#label}}" failed external validation',
+}
+
 # engine-added dataset-level checks (no reference equivalent — north_rule
 # additions; codes namespaced 'dataset.*')
 DATASET_MESSAGES = {
@@ -162,8 +176,14 @@ DATASET_MESSAGES = {
 MESSAGES: dict[str, str] = {
     **ANY_MESSAGES, **STRING_MESSAGES, **NUMBER_MESSAGES, **BOOLEAN_MESSAGES,
     **DATE_MESSAGES, **OBJECT_MESSAGES, **ARRAY_MESSAGES, **BINARY_MESSAGES,
-    **DATASET_MESSAGES,
+    **ALTERNATIVES_MESSAGES, **PLUGIN_MESSAGES, **DATASET_MESSAGES,
 }
+
+
+def register_messages(overrides: dict[str, str]) -> None:
+    """Extension hook: register message templates for custom rule codes
+    (reference: lib/extend.js messages merge, lib/extend.js:60-75)."""
+    MESSAGES.update(overrides)
 
 
 # --- stringification (reference: lib/template.js:285-331) ---------------

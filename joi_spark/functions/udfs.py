@@ -29,6 +29,21 @@ def unicode_normalize_expr(col: Column, form: str) -> Column:
     return _normalize_udfs[form](col)
 
 
+def external_message_udf(method):
+    """Wrap a user external hook (reference: lib/base.js:152-157) as an
+    Arrow-batched pandas UDF: ``method(values: pd.Series) ->
+    pd.Series[str | None]`` — non-null string = violation message.
+    Batches stream through Arrow; no per-row Python calls unless the
+    user's method itself loops."""
+    @F.pandas_udf(StringType())
+    def _ext(s: pd.Series) -> pd.Series:
+        out = method(s)
+        if not isinstance(out, pd.Series):
+            out = pd.Series(out, index=s.index)
+        return out
+    return _ext
+
+
 def unicode_normalized_check(form: str):
     """Predicate form: value already normalized?  Used in strict mode."""
     if form not in _normalized_check_udfs:

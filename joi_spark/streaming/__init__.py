@@ -1,0 +1,3 @@
+from joi_spark.streaming.validate import stream_verdicts, stream_violations
+
+__all__ = ["stream_violations", "stream_verdicts"]

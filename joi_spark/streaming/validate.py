@@ -1,0 +1,69 @@
+"""Structured Streaming validation — the streaming realization of the
+batch engine (the reference is batch-only; SURVEY.md §2 end: "drift
+checks between partition epochs stand in for temporal semantics").
+
+The compiled plan is pure Column expressions, so it applies to a
+streaming DataFrame unchanged: ``readStream → validate → writeStream``.
+Two outputs:
+
+- :func:`stream_violations` — append-mode violation rows (no global
+  sort: streaming sinks can't order; downstream readers order within
+  their own micro-batch window);
+- :func:`stream_verdicts` — watermarked event-time-windowed pass/fail
+  aggregates, the streaming analogue of per-partition verdicts; late
+  rows beyond the watermark are dropped by Spark's state cleanup.
+
+Scale: per-row checks are stateless map-only — arbitrary input rate;
+verdict state is one small aggregate row per window (bounded by the
+watermark horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from joi_spark.dsl.base import Schema
+from joi_spark.dsl.manifest import manifest_hash
+from joi_spark.engine import validate
+
+
+def stream_violations(stream_df: DataFrame, schema: Schema, *,
+                      prefs: dict | None = None,
+                      keep_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                      ) -> DataFrame:
+    """Streaming violation rows (append mode), one per (row, failed
+    rule) — unsorted; pair with ``.writeStream.outputMode('append')``."""
+    res = validate(stream_df, schema, prefs=prefs,
+                   order_by=[c for c in keep_cols if c in stream_df.columns])
+    return res.violations(sort=False)
+
+
+def stream_verdicts(stream_df: DataFrame, schema: Schema, *,
+                    event_time_col: str = "ts",
+                    window_duration: str = "1 hour",
+                    watermark_delay: str = "10 minutes",
+                    prefs: dict | None = None) -> DataFrame:
+    """Watermarked windowed verdicts: ``(window, n_rows, n_violations,
+    n_warnings, pass, constraint_hash)`` — pair with
+    ``.writeStream.outputMode('append')`` (emits a window once the
+    watermark passes it) or ``'update'``."""
+    res = validate(stream_df, schema, prefs=prefs, order_by=[])
+    err_cnt = F.lit(0)
+    warn_cnt = F.lit(0)
+    for c in res.plan.checks:
+        term = (~c.predicate).cast("long")
+        if c.severity == "error":
+            err_cnt = err_cnt + term
+        else:
+            warn_cnt = warn_cnt + term
+    return (res.checked
+            .withColumn("_ec", err_cnt).withColumn("_wc", warn_cnt)
+            .withWatermark(event_time_col, watermark_delay)
+            .groupBy(F.window(event_time_col, window_duration).alias("window"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("_ec").alias("n_violations"),
+                 F.sum("_wc").alias("n_warnings"),
+                 F.min((F.col("_ec") == 0).cast("int")).cast("boolean")
+                  .alias("pass"))
+            .withColumn("constraint_hash", F.lit(manifest_hash(schema))))

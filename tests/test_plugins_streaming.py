@@ -1,0 +1,173 @@
+"""alternatives/link compilation, custom rules, extend(), external
+hooks, and Structured Streaming validation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import joi_spark as joi
+
+
+def _viol(df, schema, order_by, **kw):
+    res = joi.validate(df, schema, order_by=order_by, **kw)
+    return res.violations().collect()
+
+
+def test_alternatives_key(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "12"), (3, "x")], "id bigint, v string")
+    schema = joi.object({
+        "v": joi.alternatives(joi.string().min(3),
+                              joi.string().pattern("^[0-9]+$")),
+    })
+    rows = _viol(df, schema, ["id"])
+    assert [(r["id"], r["code"]) for r in rows] == [(3, "alternatives.any")]
+    assert rows[0]["message"] == '"v" does not match any of the allowed types'
+
+
+def test_link_shared(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", "ok"), (2, "ok", "")], "id bigint, a string, b string")
+    base = joi.string().min(1).id("nonempty")
+    schema = joi.object({
+        "a": joi.link("#nonempty"),
+        "b": joi.link("#nonempty"),
+    }).shared(base)
+    rows = _viol(df, schema, ["id"])
+    assert [(r["id"], r["path"], r["code"]) for r in rows] == \
+        [(2, "b", "string.empty")]
+
+
+def test_link_unresolved_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, a string")
+    schema = joi.object({"a": joi.link("#missing")})
+    with pytest.raises(Exception, match="no shared"):
+        joi.validate(df, schema).violations().collect()
+
+
+def test_custom_rule(spark):
+    df = spark.createDataFrame(
+        [(1, 4), (2, 7)], "id bigint, v int")
+    schema = joi.object({
+        "v": joi.number().custom(lambda col, ctx: col % 2 == 0),
+    })
+    rows = _viol(df, schema, ["id"])
+    assert [(r["id"], r["code"]) for r in rows] == [(2, "any.custom")]
+    assert rows[0]["message"] == '"v" failed custom validation'
+
+
+def test_custom_rule_message_override(spark):
+    df = spark.createDataFrame([(1, 7)], "id bigint, v int")
+    schema = joi.object({
+        "v": joi.number().custom(lambda col, ctx: col % 2 == 0,
+                                 message='"v" must be even'),
+    })
+    rows = _viol(df, schema, ["id"])
+    assert rows[0]["message"] == '"v" must be even'
+
+
+def test_extend_type(spark):
+    semver = joi.extend(
+        "semver", base=joi.string,
+        rules={
+            "version": {
+                "validate": lambda col, ctx: col.rlike(r"^\d+\.\d+\.\d+$"),
+                "message": '"{{#label}}" must be a semantic version',
+            },
+        })
+    df = spark.createDataFrame(
+        [(1, "1.2.3"), (2, "not-a-version")], "id bigint, v string")
+    schema = joi.object({"v": semver().version().min(3)})
+    rows = _viol(df, schema, ["id"])
+    assert [(r["id"], r["code"]) for r in rows] == [(2, "semver.version")]
+    assert rows[0]["message"] == '"v" must be a semantic version'
+
+
+def test_external_hook(spark):
+    df = spark.createDataFrame(
+        [(1, "fine"), (2, "bad-word")], "id bigint, t string")
+
+    def no_bad_words(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: f'"{v}" is not allowed'
+                     if isinstance(v, str) and "bad" in v else None)
+
+    schema = joi.object({"t": joi.string().external(no_bad_words)})
+    rows = _viol(df, schema, ["id"])
+    assert [(r["id"], r["code"], r["message"]) for r in rows] == \
+        [(2, "external.check", '"bad-word" is not allowed')]
+
+
+def test_external_counts_in_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "fine", 0), (2, "bad", 0)], "id bigint, t string, epoch int")
+
+    def flag_bad(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: "nope" if v == "bad" else None)
+
+    schema = joi.object({"t": joi.string().external(flag_bad)})
+    v = joi.validate(df, schema).verdicts(["epoch"]).collect()
+    assert v[0]["n_violations"] == 1 and not v[0]["pass"]
+
+
+# --- streaming -------------------------------------------------------------
+
+@pytest.fixture()
+def stream_dirs():
+    src = tempfile.mkdtemp(prefix="joi_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="joi_stream_ckpt_")
+    yield src, ckpt
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_violations(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    from joi_spark.sources.transcripts import seeded_transcripts
+    from joi_spark.streaming import stream_violations
+
+    batch = seeded_transcripts(spark, n_convs=12, turns_per_conv=10)
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    schema = joi.object({
+        "role": joi.string().valid("system", "user", "assistant", "tool")
+                   .required(),
+        "text": joi.string().max(8192),
+    })
+    out = stream_violations(stream, schema)
+    q = (out.writeStream.format("memory").queryName("viols")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM viols").collect()
+    codes = sorted(r["code"] for r in rows)
+    assert codes == ["any.only", "any.required", "string.empty", "string.max"]
+
+
+def test_stream_verdicts(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    from joi_spark.sources.transcripts import seeded_transcripts
+    from joi_spark.streaming import stream_verdicts
+
+    batch = seeded_transcripts(spark, n_convs=12, turns_per_conv=10)
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    schema = joi.object({
+        "role": joi.string().valid("system", "user", "assistant", "tool")
+                   .required(),
+    })
+    out = stream_verdicts(stream, schema, event_time_col="ts",
+                          window_duration="1 hour",
+                          watermark_delay="1 minute")
+    q = (out.writeStream.format("memory").queryName("verds")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM verds").collect()
+    assert sum(r["n_rows"] for r in rows) > 0
+    assert any(r["n_violations"] > 0 for r in rows)
