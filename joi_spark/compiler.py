@@ -627,9 +627,16 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
     elif presence == "forbidden":
         emit(~present, "any.unknown", {})
 
-    # base-type coercion failures run on present values only
+    # base-type coercion failures run on present values only; a base
+    # failure ABORTS every later check for that value (reference:
+    # lib/validator.js:153 — coerce errors return immediately), so all
+    # downstream guards include base_ok
+    base_ok = F.lit(True)
     for pred, code, mctx in base_checks:
-        emit(pred, code, mctx, guard=col.isNotNull())
+        # each base check only fires if the previous ones passed —
+        # sequential-abort semantics within the base validate
+        emit(pred, code, mctx, guard=col.isNotNull() & base_ok)
+        base_ok = base_ok & F.coalesce(pred, F.lit(True))
 
     # 4. valids (reference: lib/validator.js:196-214)
     valid_match = None
@@ -650,7 +657,7 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             valids_disp = list(schema._valids.values) + \
                 [r for r in schema._valids.refs]
             emit(valid_match, "any.only", {"valids": valids_disp},
-                 guard=present)
+                 guard=present & base_ok)
             # only-mode: matching values skip rules; failing values report
             # just any.only (reference: lib/validator.js:196-214) — no
             # further checks compile for this column
@@ -658,7 +665,8 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             _emit_output(schema, name, conv, plan, local)
             return
 
-    rule_guard = present if valid_match is None else (present & ~valid_match)
+    rule_guard = (present & base_ok) if valid_match is None \
+        else (present & base_ok & ~valid_match)
 
     # 5. invalids (reference: lib/validator.js:218-227)
     if schema._invalids:
@@ -847,11 +855,37 @@ def compile_table(schema: Schema, df: DataFrame, *,
 
     keys: dict[str, Schema] = dict(schema._terms.get("keys") or {})
 
+    # pattern keys: unknown columns whose NAME matches the regex
+    # validate against the pattern rule (reference:
+    # lib/types/object.js:340-370,972-1041)
+    import re as _re
+    pattern_cols: dict[str, Schema] = {}
+    for pat in schema._terms.get("patterns") or []:
+        rx = _re.compile(pat["regex"])
+        for c in columns:
+            if c not in keys and c not in pattern_cols and rx.search(c):
+                pattern_cols[c] = pat["rule"]
+
+    # key-count rules — static table-level verdicts (columns are fixed)
+    # (reference: lib/types/object.js:278-313)
+    n_cols = len(columns)
+    main_label = _label(schema, "")
+    for rule in schema._rules:
+        if rule.name in ("length", "min", "max"):
+            limit = rule.args["limit"]
+            ok = {"length": n_cols == limit, "min": n_cols >= limit,
+                  "max": n_cols <= limit}[rule.name]
+            if not ok:
+                plan.table_errors.append(E.render_static(
+                    f"object.{rule.name}",
+                    {"label": main_label or "value", "limit": limit},
+                    overrides=schema._messages) or "")
+
     # unknown-column policy (reference: lib/types/object.js:970-1077) —
     # a TABLE-level verdict, not per-row
     allow_unknown = schema._flags.get("unknown", merged_prefs["allow_unknown"])
     renamed_to = {to for _, to in plan.renames}
-    known = set(keys) | renamed_to
+    known = set(keys) | renamed_to | set(pattern_cols)
     unknown_cols = [c for c in columns if c not in known]
     if keys and not allow_unknown and unknown_cols:
         if merged_prefs.get("strip_unknown"):
@@ -878,6 +912,9 @@ def compile_table(schema: Schema, df: DataFrame, *,
                                          F.lit(False), F.lit(msg)))
             continue
         compile_column(s, k, dtypes[k], ctx, plan)
+
+    for c, rule_schema in pattern_cols.items():
+        compile_column(rule_schema, c, dtypes[c], ctx, plan)
 
     # dependencies (reference: lib/types/object.js:724-872)
     main_label = _label(schema, "")
