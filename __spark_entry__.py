@@ -207,6 +207,40 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("psi", F.round("psi", 6))
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketed-CDF Kolmogorov–Smirnov drift per epoch vs baseline."""
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumn("epoch", F.year("o_orderdate"))
+    out = DR.ks_statistic(orders, "o_totalprice", epoch_col="epoch",
+                          n_buckets=200)
+    return out.withColumn("ks", F.round("ks", 6))
+
+
+def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boolean() string coercion with case-insensitive true/false
+    (reference: lib/types/boolean.js:34-51)."""
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn(
+        "flag", F.when(F.col("value") > 400, "maybe")
+                 .when(F.col("value") > 50, "TRUE").otherwise("false"))
+    schema = joi.object({"flag": joi.boolean()})
+    res = joi.validate(flagged, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
+def q_date_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date().timestamp('unix') epoch-seconds coercion + min bound
+    (reference: lib/types/date.js:125-132,172-215)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "event_id": joi.date().timestamp("unix").min("1970-01-01 01:00:00"),
+    })
+    res = joi.validate(ev, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
 def q_alternatives_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alternatives().try_() — first-match-wins OR composition
     (reference: lib/types/alternatives.js:33-114)."""
@@ -357,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_exact": q_stats_exact,
         "histogram": q_histogram,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "bool_coercion": q_bool_coercion,
+        "date_unix": q_date_unix,
         "alternatives_or": q_alternatives_or,
         "custom_rule": q_custom_rule,
         "deps_without": q_deps_without,
@@ -562,6 +599,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT min(epoch) FROM frac) AS VARCHAR) AS baseline_epoch,
                    round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM j GROUP BY epoch ORDER BY epoch
+        """,
+        "ks_drift": """
+            WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS epoch,
+                              o_totalprice AS x
+                       FROM orders WHERE o_totalprice IS NOT NULL),
+            b AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
+            c AS (SELECT epoch,
+                         CAST(least(floor((x - lo) / ((hi - lo) / 200)), 199) AS INT) AS bucket,
+                         CAST(count(*) AS DOUBLE) AS cnt
+                  FROM d, b GROUP BY 1, 2),
+            t AS (SELECT epoch, sum(cnt) AS total FROM c GROUP BY 1),
+            f AS (SELECT c.epoch, c.bucket, c.cnt / t.total AS frac
+                  FROM c JOIN t ON c.epoch = t.epoch),
+            grid AS (SELECT e.epoch, bk.bucket
+                     FROM (SELECT DISTINCT epoch FROM f) e
+                     CROSS JOIN (SELECT DISTINCT bucket FROM f) bk),
+            dense AS (SELECT g.epoch, g.bucket, coalesce(f.frac, 0) AS frac
+                      FROM grid g LEFT JOIN f
+                        ON g.epoch = f.epoch AND g.bucket = f.bucket),
+            cdf AS (SELECT epoch, bucket,
+                           sum(frac) OVER (PARTITION BY epoch ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+                    FROM dense),
+            base AS (SELECT bucket, cdf AS cdf_q FROM cdf
+                     WHERE epoch = (SELECT min(epoch) FROM f)),
+            cur AS (SELECT * FROM cdf
+                    WHERE epoch <> (SELECT min(epoch) FROM f))
+            SELECT 'o_totalprice' AS "column", cur.epoch,
+                   CAST((SELECT min(epoch) FROM f) AS VARCHAR) AS baseline_epoch,
+                   round(max(abs(cur.cdf - base.cdf_q)), 6) AS ks
+            FROM cur JOIN base ON cur.bucket = base.bucket
+            GROUP BY cur.epoch ORDER BY cur.epoch
+        """,
+        "bool_coercion": """
+            SELECT event_id,
+                   'boolean.base' AS code,
+                   '"flag" must be a boolean' AS message,
+                   'error' AS severity
+            FROM events WHERE value > 400
+        """,
+        "date_unix": """
+            SELECT event_id,
+                   'date.min' AS code,
+                   '"event_id" must be larger than or equal to "1970-01-01 01:00:00"' AS message,
+                   'error' AS severity
+            FROM events WHERE event_id < 3600
         """,
         "alternatives_or": """
             SELECT event_id,
