@@ -119,6 +119,13 @@ def _describe_value(v: Any):
         return [_describe_value(x) for x in v]
     if isinstance(v, re.Pattern):
         return {"regex": v.pattern, "flags": v.flags}
+    if callable(v):
+        # callbacks (custom rule builders, external hooks) serialize by
+        # name — the manifest records THAT a callback exists and its
+        # identity, not its body (reference: manifest special values,
+        # lib/manifest.js:97-113)
+        return {"special": "callback",
+                "name": getattr(v, "__qualname__", repr(v))}
     return v
 
 

@@ -24,12 +24,13 @@ def _type_registry() -> dict[str, type]:
     from joi_spark.dsl.types import (AnySchema, ArraySchema, BinarySchema,
                                      BooleanSchema, DateSchema, NumberSchema,
                                      StringSchema)
-    from joi_spark.dsl.objects import AlternativesSchema, ObjectSchema
+    from joi_spark.dsl.objects import (AlternativesSchema, LinkSchema,
+                                       ObjectSchema)
     return {
         "any": AnySchema, "string": StringSchema, "number": NumberSchema,
         "boolean": BooleanSchema, "date": DateSchema, "array": ArraySchema,
         "binary": BinarySchema, "object": ObjectSchema,
-        "alternatives": AlternativesSchema,
+        "alternatives": AlternativesSchema, "link": LinkSchema,
     }
 
 
