@@ -566,6 +566,35 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                    plan: CompiledPlan, *, cond: Column | None = None) -> None:
     """Emit conversion + checks for one column.  ``cond`` guards every
     check (used by when/conditional schemas)."""
+    if isinstance(schema, ObjectSchema) and isinstance(dtype, T.StructType) \
+            and schema._terms.get("keys"):
+        # struct column: the reference's nested object().keys()
+        # (lib/types/object.js:114-142) — fields address as dotted paths,
+        # which Spark resolves without any flattening projection
+        presence = schema._flags.get("presence")
+        if presence == "required":
+            label = _label(schema, name)
+            msg = E.render_static("any.required", {"label": label},
+                                  overrides=schema._messages)
+            plan.checks.append(Check(ctx.next_seq(), name, "any.required",
+                                     F.coalesce(F.col(name).isNotNull(),
+                                                F.lit(False)),
+                                     F.lit(msg)))
+        fields = {f.name: f.dataType for f in dtype.fields}
+        for k, sub in schema._terms["keys"].items():
+            if k not in fields:
+                if sub._flags.get("presence") == "required":
+                    label = _label(sub, f"{name}.{k}")
+                    msg = E.render_static("any.required", {"label": label},
+                                          overrides=sub._messages)
+                    plan.checks.append(Check(ctx.next_seq(), f"{name}.{k}",
+                                             "any.required", F.lit(False),
+                                             F.lit(msg)))
+                continue
+            compile_column(sub, f"{name}.{k}", fields[k], ctx, plan,
+                           cond=cond)
+        return
+
     if schema.type == "link":
         # late-bound schema reuse (reference: lib/types/link.js:35-59):
         # resolve against object().shared(...) registrations and compile
@@ -686,10 +715,15 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
         emit(~F.coalesce(bad, F.lit(False)), "any.invalid", {}, guard=guard)
 
     # 6. base type-specific checks -------------------------------------
-    if schema.type == "string":
+    if schema.kind == "string":
         allow_empty = "" in schema._valids.values
         if not allow_empty:
+            # empty-string failure is a BASE error: later rules don't
+            # fire for that value (reference: lib/types/string/index.js:145-147
+            # — base validate errors abort)
             emit(conv != F.lit(""), "string.empty", {}, guard=rule_guard)
+            rule_guard = rule_guard & F.coalesce(conv != F.lit(""),
+                                                 F.lit(True))
 
     # 7. rules in chain order (reference: lib/validator.js:260-320)
     compile_vp = lambda s: value_predicate(s, local)
@@ -742,6 +776,19 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             p = value_predicate(s, local)
             emit(F.exists(conv, p), "array.includesRequiredUnknowns",
                  {"unknownMisses": 1}, guard=rule_guard)
+    if schema.type == "array" and schema._terms.get("ordered"):
+        # positional schemas (reference: lib/types/array.js:391-408):
+        # element i must match schema i; extra elements beyond the
+        # ordered list fail array.orderedLength unless items() allows them
+        ordered = schema._terms["ordered"]
+        for i, s_i in enumerate(ordered):
+            p = value_predicate(s_i, local)(F.element_at(conv, i + 1))
+            emit(p, "array.includes", {},
+                 guard=rule_guard & (F.size(conv) > i))
+        if not schema._terms.get("items"):
+            emit(F.size(conv) <= len(ordered), "array.orderedLength",
+                 {"limit": len(ordered)}, guard=rule_guard)
+
     if schema.type == "array" and schema._flags.get("sparse") is False:
         emit(~F.exists(conv, lambda x: x.isNull()), "array.sparse", {},
              guard=rule_guard)
@@ -845,12 +892,31 @@ def compile_table(schema: Schema, df: DataFrame, *,
     # renames first (reference: lib/types/object.js:886-967) — the engine
     # applies them before the conversion stage, so compile against the
     # post-rename column set
+    import re as _re2
     columns = list(df.columns)
     for r in schema._terms.get("renames") or []:
-        plan.renames.append((r["from"], r["to"]))
-        if r["from"] in columns:
-            dtypes[r["to"]] = dtypes.pop(r["from"])
-            columns[columns.index(r["from"])] = r["to"]
+        frm = r["from"]
+        if r.get("regex"):
+            # regex rename (reference: lib/types/object.js:898-938):
+            # every matching column renames via pattern substitution
+            rx = _re2.compile(frm)
+            matches = [c for c in columns if rx.search(c)]
+            if len(matches) > 1 and not r.get("multiple"):
+                plan.table_errors.append(E.render_static(
+                    "object.rename.multiple",
+                    {"label": _label(schema, ""), "from": frm,
+                     "to": r["to"]}) or "")
+                matches = matches[:1]
+            for c in matches:
+                to = rx.sub(r["to"], c)
+                plan.renames.append((c, to))
+                dtypes[to] = dtypes.pop(c)
+                columns[columns.index(c)] = to
+            continue
+        plan.renames.append((frm, r["to"]))
+        if frm in columns:
+            dtypes[r["to"]] = dtypes.pop(frm)
+            columns[columns.index(frm)] = r["to"]
     ctx.columns = columns
 
     keys: dict[str, Schema] = dict(schema._terms.get("keys") or {})

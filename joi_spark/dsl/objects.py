@@ -105,12 +105,17 @@ class ObjectSchema(Schema):
         return n
 
     # -- rename (reference: lib/types/object.js:387-415,886-967) --------
-    def rename(self, from_: str, to: str, *, alias: bool = False,
+    def rename(self, from_: str | re.Pattern, to: str, *, alias: bool = False,
                multiple: bool = False, override: bool = False) -> "ObjectSchema":
         n = self.clone()
         renames = list(n._terms.get("renames") or [])
-        renames.append({"from": from_, "to": to, "alias": alias,
-                        "multiple": multiple, "override": override})
+        entry = {"from": from_, "to": to, "alias": alias,
+                 "multiple": multiple, "override": override}
+        if isinstance(from_, re.Pattern):
+            # regex rename (reference: lib/types/object.js:898-938)
+            entry["from"] = from_.pattern
+            entry["regex"] = True
+        renames.append(entry)
         n._terms["renames"] = renames
         return n
 

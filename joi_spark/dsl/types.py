@@ -317,6 +317,12 @@ class ArraySchema(Schema):
         # reference: lib/types/array.js:410-418
         return self._set_flag("single", enabled or None)
 
+    def ordered(self, *schemas):
+        # reference: lib/types/array.js:391-408 — element i matches schema i
+        n = self.clone()
+        n._terms["ordered"] = list(n._terms.get("ordered") or []) + list(schemas)
+        return n
+
 
 class BinarySchema(Schema):
     """reference: lib/types/binary.js — BinaryType columns."""

@@ -135,6 +135,7 @@ ARRAY_MESSAGES = {
     "array.includes": '"{{#label}}" does not match any of the allowed types',
     "array.length": '"{{#label}}" must contain {{#limit}} items',
     "array.max": '"{{#label}}" must contain less than or equal to {{#limit}} items',
+    "array.orderedLength": '"{{#label}}" must contain at most {{#limit}} items',
     "array.min": '"{{#label}}" must contain at least {{#limit}} items',
     "array.sort": '"{{#label}}" must be sorted in {#order} order by {{#by}}',
     "array.sparse": '"{{#label}}" must not be a sparse array item',

@@ -1,0 +1,67 @@
+"""Struct-column keys, array ordered(), regex rename."""
+
+from __future__ import annotations
+
+import re
+
+import joi_spark as joi
+
+
+def test_struct_column_keys(spark):
+    df = spark.createDataFrame(
+        [(1, ("alice", 30)), (2, ("", 16)), (3, ("bob", None))],
+        "id bigint, user struct<name:string, age:int>")
+    schema = joi.object({
+        "user": joi.object({
+            "name": joi.string().min(2),
+            "age": joi.number().min(18).required(),
+        }),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = sorted((r["id"], r["path"], r["code"])
+                 for r in res.violations().collect())
+    assert got == [
+        (2, "user.age", "number.min"),
+        (2, "user.name", "string.empty"),
+        (3, "user.age", "any.required"),
+    ]
+
+
+def test_struct_missing_required_field(spark):
+    df = spark.createDataFrame([(1, ("x",))],
+                               "id bigint, user struct<name:string>")
+    schema = joi.object({
+        "user": joi.object({"email": joi.string().required()}),
+    })
+    res = joi.validate(df, schema, order_by=["id"])
+    rows = res.violations().collect()
+    assert [(r["path"], r["code"], r["message"]) for r in rows] == \
+        [("user.email", "any.required", '"user.email" is required')]
+
+
+def test_array_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, ["sys", "42"]), (2, ["sys", "xx"]), (3, ["sys", "42", "extra"])],
+        "id bigint, parts array<string>")
+    schema = joi.object({
+        "parts": joi.array().ordered(joi.string().min(2),
+                                     joi.string().pattern("^[0-9]+$")),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = sorted((r["id"], r["code"]) for r in res.violations().collect())
+    assert got == [(2, "array.includes"), (3, "array.orderedLength")]
+    msg = {r["id"]: r["message"] for r in res.violations().collect()}
+    assert msg[3] == '"parts" must contain at most 2 items'
+
+
+def test_regex_rename(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, raw_name string")
+    schema = joi.object({"name": joi.string().min(2)}) \
+        .rename(re.compile("^raw_"), "")
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    rows = res.violations().collect()
+    assert [(r["path"], r["code"]) for r in rows] == [("name", "string.min")]
+    assert "name" in res.value.columns and "raw_name" not in res.value.columns
