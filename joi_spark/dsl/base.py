@@ -354,6 +354,51 @@ class Schema:
         n._rules[-1] = last
         return n
 
+    # -- schema surgery (reference: lib/base.js:88-103,551-571;
+    # lib/modify.js:12-142) -------------------------------------------
+    def alter(self, targets: dict[str, "Callable[[Schema], Schema]"]) -> "Schema":
+        """Register per-target adjustments applied by :meth:`tailor`
+        (reference: lib/base.js:88-103)."""
+        n = self.clone()
+        alts = dict(n._terms.get("alterations") or {})
+        alts.update(targets)
+        n._terms["alterations"] = alts
+        return n
+
+    def tailor(self, target: str) -> "Schema":
+        """Apply the alteration registered for ``target``, recursing
+        into object keys (reference: lib/base.js:551-571)."""
+        n = self
+        alts = self._terms.get("alterations") or {}
+        if target in alts:
+            n = alts[target](n)
+        keys = n._terms.get("keys")
+        if keys:
+            n = n.clone()
+            n._terms["keys"] = {k: s.tailor(target) for k, s in keys.items()}
+        return n
+
+    def fork(self, paths, adjuster: "Callable[[Schema], Schema]") -> "Schema":
+        """Return a copy with the schema at each dotted ``path`` adjusted
+        (reference: lib/base.js:494-506, lib/modify.js:12-142)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        n = self
+        for path in paths:
+            n = _modify_at(n, path.split("."), adjuster)
+        return n
+
+    def extract(self, path: str) -> "Schema":
+        """Return the sub-schema at a dotted path
+        (reference: lib/base.js:488-492)."""
+        node: Schema = self
+        for part in path.split("."):
+            keys = node._terms.get("keys") or {}
+            if part not in keys:
+                raise KeyError(f"no schema at path segment {part!r}")
+            node = keys[part]
+        return node
+
     # -- preferences (reference: lib/base.js:246-257,283-290) ---------
     def prefs(self, prefs: dict) -> "Schema":
         n = self.clone()
@@ -463,3 +508,18 @@ class Schema:
     def validate(self, df, **kw):
         from joi_spark.engine import validate as _validate
         return _validate(df, self, **kw)
+
+
+def _modify_at(schema: "Schema", parts: list[str], adjuster) -> "Schema":
+    """Clone-on-write path modification (reference: lib/modify.js:12-64)."""
+    if not parts:
+        return adjuster(schema)
+    keys = schema._terms.get("keys") or {}
+    head = parts[0]
+    if head not in keys:
+        raise KeyError(f"no schema at path segment {head!r}")
+    n = schema.clone()
+    new_keys = dict(keys)
+    new_keys[head] = _modify_at(keys[head], parts[1:], adjuster)
+    n._terms["keys"] = new_keys
+    return n

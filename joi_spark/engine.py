@@ -212,3 +212,28 @@ def assert_table(df: DataFrame, schema: Schema, *, sample_size: int = 5,
             f"table failed validation (first {len(sample)} violations):\n{lines}",
             sample)
     return result.value
+
+
+def distinct_validate(df: DataFrame, schema: Schema, cols: Sequence[str],
+                      **kw) -> tuple[DataFrame, DataFrame]:
+    """Dedup-before-validate — the reference's LRU validate cache
+    (reference: lib/cache.js:8-79, gated lib/validator.js:124-131)
+    realized for tables: validate only the DISTINCT combinations of
+    ``cols``, then broadcast-join outcomes back onto the full table.
+
+    Returns ``(annotated, distinct_violations)`` where ``annotated`` is
+    the input plus ``_ok``, and ``distinct_violations`` is one row per
+    distinct failing combination (join it back on ``cols`` for per-row
+    reporting).
+
+    When to use: rules whose evaluation is EXPENSIVE (pandas-UDF
+    normalize/external hooks) over low-cardinality columns — the UDF
+    then runs once per distinct value instead of once per row.  For
+    plain codegen predicates the join costs more than it saves.
+    """
+    cols = list(cols)
+    distinct = df.select(*cols).dropDuplicates()
+    res = validate(distinct, schema, order_by=cols, **kw)
+    outcomes = res.checked.select(*cols, F.col("_ok"))
+    annotated = df.join(F.broadcast(outcomes), on=cols, how="left")
+    return annotated, res.violations()

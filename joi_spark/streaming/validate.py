@@ -67,3 +67,64 @@ def stream_verdicts(stream_df: DataFrame, schema: Schema, *,
                  F.min((F.col("_ec") == 0).cast("int")).cast("boolean")
                   .alias("pass"))
             .withColumn("constraint_hash", F.lit(manifest_hash(schema))))
+
+
+def stream_stateful_sequence(stream_df: DataFrame, *,
+                             conv_col: str = "conv_id",
+                             idx_col: str = "turn_idx") -> DataFrame:
+    """Cross-batch sequence validation with per-conversation state —
+    the custom stateful operator the batch engine can't express when
+    turns for one conversation ARRIVE ACROSS micro-batches.
+
+    ``applyInPandasWithState`` keyed by conversation keeps (max turn
+    index, turn count) per conversation; a turn at or below the
+    watermark of already-seen indices is flagged ``dataset.unique`` /
+    ``dataset.sort``, a jump beyond max+1 is flagged ``dataset.sparse``.
+    Output shape matches the batch dataset-rule reporting.
+
+    State is two longs per conversation — bounded by conversation
+    cardinality, not turn count.  NOTE on skew: state for one
+    conversation lives in one task by construction (cross-batch state
+    can't be salted); hot conversations bound per-batch latency, so
+    cap micro-batch size upstream (maxFilesPerTrigger / rate limits).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(conv_col, T.StringType()),
+        T.StructField(idx_col, T.IntegerType()),
+        T.StructField("code", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("max_idx", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        max_idx, n_seen = state.get if state.exists else (-1, 0)
+        rows = []
+        for pdf in pdfs:
+            for idx in pdf[idx_col].sort_values():
+                idx = int(idx)
+                if idx <= max_idx:
+                    rows.append((key[0], idx, "dataset.sort",
+                                 f'"{idx_col}" must be sorted in ascending '
+                                 f'order by arrival'))
+                elif idx > max_idx + 1:
+                    rows.append((key[0], idx, "dataset.sparse",
+                                 f'"{idx_col}" must not be a sparse array '
+                                 f'item'))
+                    max_idx = idx
+                else:
+                    max_idx = idx
+                n_seen += 1
+        state.update((max_idx, n_seen))
+        yield pd.DataFrame(rows, columns=[conv_col, idx_col, "code",
+                                          "message"])
+
+    return (stream_df.groupBy(conv_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -109,3 +109,17 @@ def test_rule_and_warn_and_message():
     r = s.get_rule("min")
     assert r.message == "too short"
     assert r.warn is True
+
+
+def test_schema_surgery_ops():
+    import joi_spark as joi
+    s = joi.object({"a": joi.string(),
+                    "b": joi.object({"c": joi.number()})})
+    s2 = s.fork("b.c", lambda x: x.required())
+    assert s2.extract("b.c")._flags.get("presence") == "required"
+    assert s.extract("b.c")._flags.get("presence") is None  # immutable
+    t = joi.string().alter({"prod": lambda x: x.required()})
+    assert t.tailor("prod")._flags.get("presence") == "required"
+    assert t.tailor("dev")._flags.get("presence") is None
+    o = joi.object({"k": joi.string().alter({"p": lambda x: x.min(3)})})
+    assert o.tailor("p").extract("k").get_rule("min") is not None

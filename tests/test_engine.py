@@ -214,3 +214,19 @@ def test_unknown_columns_table_error(spark):
     res = joi.validate(df, schema)
     assert res.table_errors == ['"b" is not allowed']
     assert not res.is_valid()
+
+
+def test_distinct_validate_matches_direct(spark):
+    import joi_spark as joi
+    from joi_spark.engine import distinct_validate
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, ["ok", "bad", ""][i % 3]) for i in range(300)],
+        "id bigint, t string")
+    schema = joi.object({"t": joi.string().min(2)})
+    ann, dviol = distinct_validate(df, schema, ["t"])
+    direct = joi.validate(df, schema, order_by=["id"])
+    a = sorted(r["id"] for r in ann.filter(~F.col("_ok")).collect())
+    b = sorted(r["id"] for r in direct.checked.filter(~F.col("_ok")).collect())
+    assert a == b and len(a) == 100
+    assert dviol.count() == 1  # one distinct failing value ('')

@@ -171,3 +171,22 @@ def test_stream_verdicts(spark, stream_dirs):
     rows = spark.sql("SELECT * FROM verds").collect()
     assert sum(r["n_rows"] for r in rows) > 0
     assert any(r["n_violations"] > 0 for r in rows)
+
+
+def test_stream_stateful_sequence(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    from joi_spark.streaming.validate import stream_stateful_sequence
+
+    rows = [("c1", i) for i in (0, 1, 2, 2, 5)] + [("c2", 0), ("c2", 1)]
+    batch = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_stateful_sequence(stream)
+    q = (out.writeStream.format("memory").queryName("seqstate")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["conv_id"], r["turn_idx"], r["code"])
+                 for r in spark.sql("SELECT * FROM seqstate").collect())
+    assert got == [("c1", 2, "dataset.sort"), ("c1", 5, "dataset.sparse")]
