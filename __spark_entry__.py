@@ -241,6 +241,16 @@ def q_date_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("event_id", *_VCOLS)
 
 
+def q_object_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object() JSON-string coercion + per-row key-count rule
+    (reference: lib/types/object.js:49-64,278-313)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({"props": joi.object().min(2)})
+    res = joi.validate(ev, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
 def q_alternatives_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alternatives().try_() — first-match-wins OR composition
     (reference: lib/types/alternatives.js:33-114)."""
@@ -394,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "bool_coercion": q_bool_coercion,
         "date_unix": q_date_unix,
+        "object_json": q_object_json,
         "alternatives_or": q_alternatives_or,
         "custom_rule": q_custom_rule,
         "deps_without": q_deps_without,
@@ -645,6 +656,15 @@ def oracle_sql() -> dict[str, str]:
                    '"event_id" must be larger than or equal to "1970-01-01 01:00:00"' AS message,
                    'error' AS severity
             FROM events WHERE event_id < 3600
+        """,
+        "object_json": """
+            SELECT event_id,
+                   'object.min' AS code,
+                   '"props" must have at least 2 keys' AS message,
+                   'error' AS severity
+            FROM events
+            WHERE props IS NOT NULL
+              AND len(json_keys(props)) < 2
         """,
         "alternatives_or": """
             SELECT event_id,

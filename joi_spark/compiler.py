@@ -556,7 +556,20 @@ def _coerce(schema: Schema, col: Column, dtype: T.DataType, ctx: _Ctx,
         checks.append((F.lit(isinstance(dtype, T.BinaryType)), "binary.base", {}))
         return col, checks
 
-    # any / object passthrough
+    if t == "object":
+        if isinstance(dtype, (T.StructType, T.MapType)):
+            return col, checks
+        if _is_string_like(dtype) and convert:
+            # JSON-string coerce (reference: lib/types/object.js:49-64);
+            # field types unknown → canonical map<string,string>
+            conv = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
+            checks.append((conv.isNotNull() | col.isNull(),
+                           "object.base", {"type": "object"}))
+            return conv, checks
+        checks.append((F.lit(False), "object.base", {"type": "object"}))
+        return col, checks
+
+    # any passthrough
     return col, checks
 
 
@@ -736,6 +749,18 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             # (reference: lib/extend.js:58-104 custom validate, vectorized)
             pred = rule.args["builder"](conv, local)
             triples = [(pred, rule.args.get("code", "any.custom"), {})]
+        elif kind == "object" and rule.name in ("length", "min", "max"):
+            # per-row key count over a map/struct column
+            # (reference: lib/types/object.js:278-313)
+            if isinstance(dtype, T.StructType):
+                nk = F.lit(len(dtype.fields))
+            else:
+                nk = F.size(F.map_keys(conv))
+            limit = local.resolve(rule.args["limit"])
+            pred = {"length": nk == limit, "min": nk >= limit,
+                    "max": nk <= limit}[rule.name]
+            triples = [(pred, f"object.{rule.name}",
+                        {"limit": local.display(rule.args["limit"])})]
         elif kind == "string":
             triples = _string_rule(rule, conv, local, label, overrides)
         elif kind == "number":

@@ -65,3 +65,20 @@ def test_regex_rename(spark):
     rows = res.violations().collect()
     assert [(r["path"], r["code"]) for r in rows] == [("name", "string.min")]
     assert "name" in res.value.columns and "raw_name" not in res.value.columns
+
+
+def test_object_json_coercion(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, '{"a":1,"b":2}'), (3, 'not json')],
+        "id bigint, props string")
+    schema = joi.object({"props": joi.object().min(2)})
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"], r["message"])
+           for r in res.violations().collect()]
+    assert got == [
+        (1, "object.min", '"props" must have at least 2 keys'),
+        (3, "object.base", '"props" must be of type object'),
+    ]
+    vals = {r["id"]: r["props"] for r in res.value.collect()}
+    assert vals[2] == {"a": "1", "b": "2"} and vals[3] is None
