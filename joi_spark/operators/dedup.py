@@ -79,8 +79,19 @@ def shingles(col: Column, n: int = 3) -> Column:
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
                    max_shingle_freq: int | None) -> DataFrame:
     """Inverted index (id, shingle) with optional document-frequency
-    pruning of hot shingles."""
-    idx = (df.select(F.col(id_col).alias("_id"),
+    pruning of hot shingles.
+
+    The explode amplifies rows ~50×, so the index is explicitly
+    repartitioned on the shingle: input partitioning (often one small
+    file) says nothing about post-explode compute, and hashing on the
+    join key here pre-aligns the self-join's shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # repartition the (small) doc table BEFORE the explode so shingle
+    # construction itself parallelizes — post-explode repartition would
+    # leave the 50× amplification on the input's (possibly single)
+    # partition
+    idx = (df.repartition(par, id_col)
+             .select(F.col(id_col).alias("_id"),
                      F.explode(shingles(F.col(text_col), n)).alias("_sh")))
     if max_shingle_freq is not None:
         freq = F.count(F.lit(1)).over(Window.partitionBy("_sh"))
@@ -135,7 +146,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     xxhash64(p, shingle) — ``num_perm`` independent partial-aggregating
     mins in ONE groupBy (map-side combine ⇒ shuffle carries one row per
     doc).  Returns ``(id, sig array<bigint>)``."""
-    idx = df.select(F.col(id_col).alias("_id"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("_id"),
                     F.explode(shingles(F.col(text_col), n)).alias("_sh"))
     mins = [F.min(F.xxhash64(F.lit(p), F.col("_sh"))).alias(f"_m{p}")
             for p in range(num_perm)]
@@ -180,7 +193,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                             F.col("_idb").alias("id_b"))
     sizes = df.select(F.col(id_col).alias("_id"),
                       F.size(shingles(F.col(text_col), n)).alias("_n"))
-    idx = df.select(F.col(id_col).alias("_id"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("_id"),
                     F.explode(shingles(F.col(text_col), n)).alias("_sh"))
     ca = cands.join(idx.withColumnRenamed("_id", "_ida"), "_ida") \
               .select("_ida", "_idb", "_sh")
@@ -215,7 +230,9 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
     signature width is constant regardless of document size.
     """
     bits_per = 64 // n_chunks
-    idx = df.select(F.col(id_col).alias("_id"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("_id"),
                     F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
     h = F.xxhash64(F.col("_t"))
     sums = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
