@@ -184,6 +184,17 @@ def q_ds_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("user_id", "event_id", *_VCOLS)
 
 
+def q_ds_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted two-phase group-size bounds ≙ array.min/max over the
+    group-as-array (reference: lib/types/array.js:354-388); the salted
+    aggregation is the skew-proof path (joi_spark.operators.skew)."""
+    from joi_spark.operators import skew as SK
+    li = _t(spark, sf_dir, "lineitem")
+    v = SK.salted_conversation_sizes(li, conv_col="l_orderkey",
+                                    idx_col="l_linenumber", min_turns=3)
+    return v.select("l_orderkey", "n_turns", "code", "message")
+
+
 # ---------------------------------------------------------------------------
 # statistics / drift (north_rule profiling half)
 # ---------------------------------------------------------------------------
@@ -398,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_heads": q_ds_heads,
         "ds_referential": q_ds_referential,
         "ds_monotone": q_ds_monotone,
+        "ds_group_sizes": q_ds_group_sizes,
         "stats_exact": q_stats_exact,
         "histogram": q_histogram,
         "psi_drift": q_psi_drift,
@@ -551,6 +563,15 @@ def oracle_sql() -> dict[str, str]:
                          lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
                   FROM events)
             WHERE pv IS NOT NULL AND value < pv
+        """,
+        "ds_group_sizes": """
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   'array.min' AS code,
+                   '"l_orderkey" must contain at least 3 items' AS message
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING count(*) < 3
         """,
         "stats_exact": """
             SELECT 'l_quantity' AS "column",
