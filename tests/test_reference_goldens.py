@@ -334,3 +334,77 @@ def test_object_key_count(spark):
     res = joi.validate(df, schema)
     assert res.table_errors == ['"value" must have at least 3 keys']
     assert not res.is_valid()
+
+
+# --- output shaping flags (reference: lib/validator.js:351-430) ------------
+
+def test_empty_schema_treats_as_missing(spark):
+    df = spark.createDataFrame([(1, "NA"), (2, "x")], "id bigint, v string")
+    schema = joi.object({"v": joi.string().empty("NA").required()})
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"]) for r in res.violations().collect()]
+    assert got == [(1, "any.required")]   # NA → missing → required fails
+    vals = {r["id"]: r["v"] for r in res.value.collect()}
+    assert vals[1] is None and vals[2] == "x"
+
+
+def test_failover_replaces_on_error(spark):
+    df = spark.createDataFrame([(1, 99.0), (2, 3.0)], "id bigint, v double")
+    schema = joi.object({"v": joi.number().max(10).failover(0.0)})
+    res = joi.validate(df, schema, order_by=["id"])
+    vals = {r["id"]: r["v"] for r in res.value.collect()}
+    assert vals == {1: 0.0, 2: 3.0}
+
+
+def test_strip_drops_column(spark):
+    df = spark.createDataFrame([(1, "secret")], "id bigint, pw string")
+    schema = joi.object({"pw": joi.string().strip()})
+    res = joi.validate(df, schema)
+    assert "pw" not in res.value.columns
+
+
+def test_raw_returns_preconversion(spark):
+    df = spark.createDataFrame([(1, " padded ")], "id bigint, v string")
+    schema = joi.object({"v": joi.string().trim().raw()})
+    res = joi.validate(df, schema)
+    assert res.value.first()["v"] == " padded "
+
+
+def test_cast_outputs(spark):
+    import datetime as dt
+    df = spark.createDataFrame([(1, dt.datetime(2020, 1, 1), True)],
+                               "id bigint, d timestamp, b boolean")
+    schema = joi.object({
+        "d": joi.date().cast("number"),
+        "b": joi.boolean().cast("number"),
+    })
+    row = joi.validate(df, schema).value.first()
+    assert row["d"] == 1577836800000   # epoch millis (UTC session)
+    assert row["b"] == 1
+
+
+def test_default_with_ref(spark):
+    df = spark.createDataFrame([(1, None, "fb")],
+                               "id bigint, v string, other string")
+    schema = joi.object({
+        "v": joi.string().default(joi.ref("other")),
+        "other": joi.string(),
+    })
+    assert joi.validate(df, schema).value.first()["v"] == "fb"
+
+
+def test_insensitive_invalid(spark):
+    df = spark.createDataFrame([(1, "BAD"), (2, "ok")], "id bigint, v string")
+    schema = joi.object({"v": joi.string().invalid("bad").insensitive()})
+    got = [(r["id"], r["code"]) for r in
+           joi.validate(df, schema, order_by=["id"]).violations().collect()]
+    assert got == [(1, "any.invalid")]
+
+
+def test_context_ref(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id bigint, v double")
+    schema = joi.object({"v": joi.number().max(joi.ref("$limit"))})
+    res = joi.validate(df, schema, order_by=["id"], context={"limit": 10})
+    got = [(r["id"], r["code"]) for r in res.violations().collect()]
+    assert got == [(2, "number.max")]
