@@ -62,11 +62,15 @@ class ValidationResult:
                 ok = ok & c.predicate
         return ok
 
-    def _violation_array(self) -> Column:
+    def _violation_array(self, pred_for=None) -> Column:
+        """``pred_for(i, check) -> Column`` substitutes materialized
+        boolean columns for the raw predicates (so expensive predicates
+        — regexes, from_json, external UDFs — evaluate once)."""
         entries = []
-        for c in self.plan.checks:
+        for i, c in enumerate(self.plan.checks):
+            pred = pred_for(i, c) if pred_for is not None else c.predicate
             entries.append(
-                F.when(~c.predicate,
+                F.when(~pred,
                        F.struct(F.lit(c.seq).alias("seq"),
                                 F.lit(c.code).alias("code"),
                                 F.lit(c.path).alias("path"),
@@ -103,13 +107,22 @@ class ValidationResult:
         prepends passthrough columns (e.g. the partition column);
         ``sort=False`` skips the global ordering (required for
         streaming sinks, where sorting is unsupported)."""
-        fail = ~self._ok_expr()
-        if include_warnings and any(c.severity == "warn"
-                                    for c in self.plan.checks):
-            fail = fail | ~self._ok_expr("warn")
-        v = (self._renamed
+        # materialize each check's boolean ONCE; the fail-filter and the
+        # violation array both reference the materialized columns, so
+        # expensive predicates (regex, from_json, external UDFs) are not
+        # re-evaluated per consumer
+        checks = self.plan.checks
+        base = self._renamed.withColumns(
+            {f"_c{i}": F.coalesce(c.predicate, F.lit(False))
+             for i, c in enumerate(checks)})
+        fail = F.lit(False)
+        for i, c in enumerate(checks):
+            if c.severity == "error" or include_warnings:
+                fail = fail | ~F.col(f"_c{i}")
+        v = (base
              .filter(fail)
-             .withColumn("_violations", self._violation_array())
+             .withColumn("_violations",
+                         self._violation_array(lambda i, c: F.col(f"_c{i}")))
              .withColumn("_v", F.explode("_violations")))
         if not include_warnings:
             v = v.filter(F.col("_v.severity") == "error")
