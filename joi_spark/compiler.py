@@ -391,8 +391,11 @@ def value_predicate(schema: Schema, ctx: _Ctx) -> Callable[[Column], Column]:
                 for p, _, _ in _string_rule(rule, col.cast("string"), ctx, "", {}):
                     parts.append(p)
         elif schema.kind == "number":
-            c = col.cast("double")
-            parts.append(~F.isnan(c))
+            c = col.try_cast("double")
+            # cast failure (non-numeric string) = number.base failure;
+            # isnan(NULL) is false in Spark, so check the cast explicitly
+            parts.append(col.isNull() | c.isNotNull())
+            parts.append(~F.isnan(F.coalesce(c, F.lit(0.0))))
             for rule in schema._rules:
                 if rule.name == "custom":
                     continue
@@ -817,6 +820,30 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
     if schema.type == "array" and schema._flags.get("sparse") is False:
         emit(~F.exists(conv, lambda x: x.isNull()), "array.sparse", {},
              guard=rule_guard)
+
+    # map-column pattern keys (reference: lib/types/object.js:340-370,
+    # 1018-1035): map keys matching a pattern regex must carry values
+    # satisfying the pattern rule; with unknown(False), every key must
+    # match some pattern
+    if schema.kind == "object" and isinstance(dtype, T.MapType):
+        pats = schema._terms.get("patterns") or []
+
+        def _pattern_ok(rx, vp):
+            return lambda e: ~e["key"].rlike(rx) | vp(e["value"])
+
+        for pat in pats:
+            ok = F.forall(F.map_entries(conv),
+                          _pattern_ok(pat["regex"],
+                                      value_predicate(pat["rule"], local)))
+            emit(ok, "object.pattern.match", {}, guard=rule_guard)
+        if pats and schema._flags.get("unknown") is False:
+            rxs = [p_["regex"] for p_ in pats]
+
+            def _known_ok(k):
+                return _or_all([k.rlike(r) for r in rxs])
+
+            emit(F.forall(F.map_keys(conv), _known_ok), "object.unknown", {},
+                 guard=rule_guard)
 
     # alternatives: first-match-wins degenerates to OR for pass/fail
     # (reference: lib/types/alternatives.js:33-91)

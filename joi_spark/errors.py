@@ -118,6 +118,7 @@ OBJECT_MESSAGES = {
     "object.missing": '"{{#label}}" must contain at least one of {{#peersWithLabels}}',
     "object.nand": '"{{#mainWithLabel}}" must not exist simultaneously with {{#peersWithLabels}}',
     "object.oxor": '"{{#label}}" contains a conflict between optional exclusive peers {{#peersWithLabels}}',
+    "object.pattern.match": '"{{#label}}" keys failed to match pattern requirements',
     "object.unknown": '"{{#label}}" is not allowed',
     "object.with": '"{{#mainWithLabel}}" missing required peer "{{#peerWithLabel}}"',
     "object.without": '"{{#mainWithLabel}}" conflict with forbidden peer "{{#peerWithLabel}}"',

@@ -82,3 +82,20 @@ def test_object_json_coercion(spark):
     ]
     vals = {r["id"]: r["props"] for r in res.value.collect()}
     assert vals[2] == {"a": "1", "b": "2"} and vals[3] is None
+
+
+def test_map_pattern_keys(spark):
+    df = spark.createDataFrame(
+        [(1, {"m_a": "5", "m_b": "7"}),
+         (2, {"m_a": "xx"}),
+         (3, {"other": "1"})],
+        "id bigint, props map<string,string>")
+    schema = joi.object({
+        "props": joi.object().pattern("^m_", joi.number()).unknown(False),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = sorted((r["id"], r["code"]) for r in res.violations().collect())
+    assert got == [(2, "object.pattern.match"), (3, "object.unknown")]
+    msg = {r["id"]: r["message"] for r in res.violations().collect()}
+    assert msg[2] == '"props" keys failed to match pattern requirements'

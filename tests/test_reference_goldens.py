@@ -408,3 +408,27 @@ def test_context_ref(spark):
     res = joi.validate(df, schema, order_by=["id"], context={"limit": 10})
     got = [(r["id"], r["code"]) for r in res.violations().collect()]
     assert got == [(2, "number.max")]
+
+
+def test_string_uri_family_extra(spark):
+    run_cases(spark, joi.string().dataUri(), "string", [
+        ("duri.ok", "data:image/png;base64,aGVsbG8=", []),
+        ("duri.fail", "data:image/png;base64,###", [("string.dataUri",
+            '"v" must be a valid dataUri string')]),
+    ])
+    run_cases(spark, joi.string().isoDuration(), "string", [
+        ("dur.ok", "P3Y6M4DT12H30M5S", []),
+        ("dur.fail", "not-a-duration", [("string.isoDuration",
+            '"v" must be a valid ISO 8601 duration')]),
+    ])
+    run_cases(spark, joi.string().hostname(), "string", [
+        ("host.ok", "www.example.com", []),
+        ("host.ip_ok", "192.168.0.1", []),
+        ("host.fail", "-bad-.host", [("string.hostname",
+            '"v" must be a valid hostname')]),
+    ])
+    run_cases(spark, joi.string().domain(), "string", [
+        ("dom.ok", "example.co.uk", []),
+        ("dom.fail", "no_dots", [("string.domain",
+            '"v" must contain a valid domain name')]),
+    ])
