@@ -252,6 +252,19 @@ def q_date_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("event_id", *_VCOLS)
 
 
+def q_array_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array().length().items() over an ArrayType column via
+    higher-order forall (reference: lib/types/array.js:119-352)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    schema = joi.object({
+        "embedding": joi.array().length(64).items(
+            joi.number().min(-0.25).max(0.25)),
+    })
+    res = joi.validate(emb, schema, prefs={"abort_early": False},
+                       order_by=["vec_id"])
+    return res.violations().select("vec_id", *_VCOLS)
+
+
 def q_object_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """object() JSON-string coercion + per-row key-count rule
     (reference: lib/types/object.js:49-64,278-313)."""
@@ -416,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "bool_coercion": q_bool_coercion,
         "date_unix": q_date_unix,
+        "array_items": q_array_items,
         "object_json": q_object_json,
         "alternatives_or": q_alternatives_or,
         "custom_rule": q_custom_rule,
@@ -677,6 +691,16 @@ def oracle_sql() -> dict[str, str]:
                    '"event_id" must be larger than or equal to "1970-01-01 01:00:00"' AS message,
                    'error' AS severity
             FROM events WHERE event_id < 3600
+        """,
+        "array_items": """
+            SELECT vec_id,
+                   'array.includes' AS code,
+                   '"embedding" does not match any of the allowed types' AS message,
+                   'error' AS severity
+            FROM embeddings
+            WHERE len(list_filter(embedding,
+                      x -> CAST(x AS DOUBLE) < -0.25
+                        OR CAST(x AS DOUBLE) > 0.25)) > 0
         """,
         "object_json": """
             SELECT event_id,
