@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
-TRANSCRIPT_TURNS = int(os.environ.get("JOI_BENCH_TURNS", 4_000_000))
+TRANSCRIPT_TURNS = int(os.environ.get("JOI_BENCH_TURNS", 8_000_000))
 SCALING_TURNS = int(os.environ.get("JOI_BENCH_SCALING_TURNS", 16_000_000))
 BENCH_FILES = 128   # pre-split input so scans parallelize at every level
 

@@ -432,3 +432,44 @@ def test_string_uri_family_extra(spark):
         ("dom.fail", "no_dots", [("string.domain",
             '"v" must contain a valid domain name')]),
     ])
+
+
+# --- object dependencies (reference: test/types/object.js) -----------------
+
+def test_dependency_messages(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "a", "b")],
+        "id bigint, x string, y string")
+
+    def msgs(schema):
+        res = joi.validate(df, schema, order_by=["id"],
+                           prefs={"abort_early": False})
+        return {(r["id"], r["code"]): r["message"]
+                for r in res.violations().collect()}
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()}).and_("x", "y"))
+    assert got[(1, "object.and")] == \
+        '"value" contains "x", "y" without its required peers "x", "y"'
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()}).or_("x", "y"))
+    assert got[(2, "object.missing")] == \
+        '"value" must contain at least one of "x", "y"'
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()}).xor("x", "y"))
+    assert got[(2, "object.missing")] == \
+        '"value" must contain at least one of "x", "y"'
+    assert got[(3, "object.xor")] == \
+        '"value" contains a conflict between exclusive peers "x", "y"'
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()}).nand("x", "y"))
+    assert got[(3, "object.nand")] == \
+        '"x" must not exist simultaneously with "y"'
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()}).oxor("x", "y"))
+    assert got[(3, "object.oxor")] == \
+        '"value" contains a conflict between optional exclusive peers "x", "y"'
+
+    got = msgs(joi.object({"x": joi.string(), "y": joi.string()})
+               .with_("x", ["y"]))
+    assert got[(1, "object.with")] == \
+        '"x" missing required peer "y"'
