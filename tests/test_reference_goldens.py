@@ -473,3 +473,25 @@ def test_dependency_messages(spark):
                .with_("x", ["y"]))
     assert got[(1, "object.with")] == \
         '"x" missing required peer "y"'
+
+
+def test_string_convert_truncate_replace(spark):
+    df = spark.createDataFrame([(1, "  hello world  ")], "id bigint, v string")
+    schema = joi.object({
+        "v": joi.string().trim().replace(" ", "_").max(8).truncate(),
+    })
+    res = joi.validate(df, schema)
+    # trim → replace → truncate-to-max applied in conversion order
+    assert res.value.first()["v"] == "hello_wo"
+    assert res.checked.filter("NOT _ok").count() == 0
+
+
+def test_string_byte_length_encoding(spark):
+    df = spark.createDataFrame([(1, "héllo")], "id bigint, v string")
+    # é is 2 bytes in UTF-8: char length 5, byte length 6
+    ok = joi.validate(df, joi.object({"v": joi.string().max(5)}))
+    assert ok.checked.filter("NOT _ok").count() == 0
+    bad = joi.validate(df, joi.object({
+        "v": joi.string().max(5, encoding="utf8")}), order_by=["id"])
+    rows = bad.violations().collect()
+    assert [(r["code"],) for r in rows] == [("string.max",)]
