@@ -57,10 +57,25 @@ def unique_rows(df: DataFrame, keys: Sequence[str],
     order_by = list(order_by or keys)
     label = ", ".join(keys)
     msg = E.render_static("dataset.unique", {"label": label})
+    if set(order_by) <= set(keys):
+        # every violation row carries only key columns + constants, so
+        # the (count-1) reports per duplicate group are IDENTICAL rows:
+        # synthesize them from a partial-aggregating groupBy + explode
+        # instead of a window — no per-group sort, map-side combine,
+        # skew-proof by construction
+        counts = (df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("_cnt"))
+                    .filter(F.col("_cnt") > 1))
+        return (counts
+                .withColumn("_i", F.explode(
+                    F.sequence(F.lit(2), F.col("_cnt"))))
+                .select(*_violation_cols(order_by, seq, "dataset.unique",
+                                         label, msg)))
+    # order_by carries non-key columns → need the actual rows: window path
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (df
             .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)   # rn>1 ⇔ duplicate; one window pass
+            .filter(F.col("_rn") > 1)   # rn>1 ⇔ duplicate
             .select(*_violation_cols(order_by, seq, "dataset.unique",
                                      label, msg)))
 
