@@ -131,6 +131,45 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    if "--skew" in sys.argv:
+        # skew robustness: same dataset-rule bundle over a uniform table
+        # vs one where a single conversation holds half the turns
+        from joi_spark.session import get_spark
+        from joi_spark.operators import dataset as DS
+        from joi_spark.operators import skew as SK
+        from joi_spark.sources.transcripts import (clean_transcripts,
+                                                   skewed_transcripts,
+                                                   tools_dimension)
+        spark = get_spark(master=f"local[{cpus}]")
+        try:
+            hot = int(os.environ.get("JOI_SKEW_HOT_TURNS", 2_000_000))
+            uniform = clean_transcripts(spark, n_convs=2 * hot // 20,
+                                        turns_per_conv=20)
+            skewed = skewed_transcripts(spark, hot_turns=hot,
+                                        n_small_convs=hot // 20,
+                                        turns_per_small=20)
+            for df in (uniform, skewed):
+                df.persist(); df.count()
+            tools = tools_dimension(spark)
+            out = {}
+            for name, df in (("uniform", uniform), ("skewed", skewed)):
+                t0 = time.time()
+                DS.validate_dataset(df, tools_dim=tools).count()
+                out[f"bundle_{name}_sec"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                SK.salted_conversation_sizes(df, min_turns=1,
+                                             max_turns=10 * hot).count()
+                out[f"salted_sizes_{name}_sec"] = round(time.time() - t0, 3)
+            out["rows_each"] = 2 * hot
+            out["skew_penalty"] = round(
+                out["bundle_skewed_sec"] / out["bundle_uniform_sec"], 2)
+            print(json.dumps({"metric": "skew_penalty",
+                              "value": out["skew_penalty"],
+                              "unit": "ratio", **out}))
+        finally:
+            spark.stop()
+        return
+
     if "--scaling" in sys.argv:
         # N vs 4N parallelism on the same input — the sandbox proxy for
         # the north_rule's two-cluster-size criterion.  4 vs 16 stays
