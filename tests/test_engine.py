@@ -230,3 +230,17 @@ def test_distinct_validate_matches_direct(spark):
     b = sorted(r["id"] for r in direct.checked.filter(~F.col("_ok")).collect())
     assert a == b and len(a) == 100
     assert dviol.count() == 1  # one distinct failing value ('')
+
+
+def test_strip_unknown_prefs(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "x", "junk")],
+                               "id bigint, keep string, extra string")
+    schema = joi.object({"id": joi.number(), "keep": joi.string()}) \
+        .unknown(False)
+    res = joi.validate(df, schema, prefs={"strip_unknown": True})
+    assert res.table_errors == []
+    assert sorted(res.value.columns) == ["id", "keep"]
+    # without strip: unknown column is a table-level error
+    res2 = joi.validate(df, schema)
+    assert res2.table_errors == ['"extra" is not allowed']
