@@ -15,6 +15,8 @@ guards and prunes unreferenced columns at the scan.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -180,7 +182,17 @@ def _string_rule(rule: Rule, col: Column, ctx: _Ctx, label: str,
         if a.get("byteAligned"):
             out.append((F.length(col) % 2 == 0, "string.hexAlign", {}))
     elif name == "email":
-        out.append((col.rlike(RX.EMAIL), "string.email", {}))
+        a = {**a, **(a.get("options") or {})}
+        if a.get("multiple"):
+            # comma-separated address list (reference:
+            # lib/types/string/index.js:291-318 multiple+separator)
+            sep = a.get("separator", ",")
+            parts_arr = F.split(col, re.escape(sep))
+            pred = F.forall(parts_arr,
+                            lambda x: F.trim(x).rlike(RX.EMAIL))
+            out.append((pred, "string.email", {}))
+        else:
+            out.append((col.rlike(RX.EMAIL), "string.email", {}))
     elif name == "domain":
         out.append((col.rlike(RX.DOMAIN), "string.domain", {}))
     elif name == "hostname":

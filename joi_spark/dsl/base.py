@@ -171,7 +171,9 @@ class Schema:
         n = self.clone()
         rule = Rule(name, args, **kw)
         if name not in MULTI_RULES:
-            n._rules = [r for r in n._rules if r.name != name]
+            # kept rules survive re-adding the same rule name
+            # (reference: lib/base.js:205-208 keep, 617-621 dedup)
+            n._rules = [r for r in n._rules if r.name != name or r.keep]
         n._rules.append(rule)
         return n
 

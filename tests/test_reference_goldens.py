@@ -495,3 +495,22 @@ def test_string_byte_length_encoding(spark):
         "v": joi.string().max(5, encoding="utf8")}), order_by=["id"])
     rows = bad.violations().collect()
     assert [(r["code"],) for r in rows] == [("string.max",)]
+
+
+def test_email_multiple(spark):
+    run_cases(spark, joi.string().email(multiple=True), "string", [
+        ("em.ok", "a@b.com, c@d.org", []),
+        ("em.fail", "a@b.com, nope", [("string.email",
+            '"v" must be a valid email')]),
+    ])
+
+
+def test_keep_rule_survives_readd(spark):
+    s = joi.number().min(3).rule(keep=True).min(5)
+    assert [(r.name, r.args["limit"]) for r in s._rules] == \
+        [("min", 3), ("min", 5)]
+    df = spark.createDataFrame([(1, 4.0)], "id bigint, v double")
+    res = joi.validate(df, joi.object({"v": s}), order_by=["id"],
+                       prefs={"abort_early": False})
+    assert [r["message"] for r in res.violations().collect()] == \
+        ['"v" must be larger than or equal to 5']
