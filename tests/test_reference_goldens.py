@@ -514,3 +514,39 @@ def test_keep_rule_survives_readd(spark):
                        prefs={"abort_early": False})
     assert [r["message"] for r in res.violations().collect()] == \
         ['"v" must be larger than or equal to 5']
+
+
+def test_rule_option_variants(spark):
+    run_cases(spark, joi.string().guid(version="uuidv4"), "string", [
+        ("g4.ok", "550e8400-e29b-41d4-a716-446655440000", []),
+        ("g4.v1_fail", "550e8400-e29b-11d4-a716-446655440000",
+         [("string.guid", '"v" must be a valid GUID')]),
+    ])
+    run_cases(spark, joi.string().base64(url_safe=True), "string", [
+        ("b64u.ok", "aGV_bG8=", []),
+        ("b64u.fail", "aGV/bG8=", [("string.base64",
+            '"v" must be a valid base64 string')]),
+    ])
+    run_cases(spark, joi.string().base64(padding_required=False), "string", [
+        ("b64np.ok_nopad", "aGVsbG8", []),
+        ("b64np.ok_pad", "aGVsbG8=", []),
+    ])
+    run_cases(spark, joi.string().ip(version=["ipv4"]), "string", [
+        ("ip4.ok", "1.2.3.4", []),
+        ("ip4.v6_fail", "::1", [("string.ipVersion",
+            '"v" must be a valid ip address of one of the following '
+            'versions [ipv4] with a optional CIDR')]),
+    ])
+    run_cases(spark, joi.string().uri(scheme="https"), "string", [
+        ("uris.ok", "https://x.com", []),
+        ("uris.fail", "http://x.com", [("string.uriCustomScheme",
+            '"v" must be a valid uri with a scheme matching the https '
+            'pattern')]),
+    ])
+    run_cases(spark, joi.number().min(0), "string", [
+        ("nexp.ok", "1e3", []),
+        ("nexp.neg", "-1e3", [("number.min",
+            '"v" must be larger than or equal to 0')]),
+        ("nexp.hex_fail", "0x10", [("number.base",
+            '"v" must be a number')]),
+    ])
