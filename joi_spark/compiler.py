@@ -66,12 +66,15 @@ class CompiledPlan:
     table_errors: list[str] = field(default_factory=list)  # schema-level verdicts
 
     def ok_column(self) -> Column:
-        """Conjunction of all error-severity checks (warnings excluded)."""
-        ok = F.lit(True)
-        for c in self.checks:
-            if c.severity == "error":
-                ok = ok & c.predicate
-        return ok
+        """Conjunction of all error-severity checks (warnings excluded);
+        balanced tree (deep linear folds overflow the JVM stack)."""
+        cols = [c.predicate for c in self.checks if c.severity == "error"]
+        if not cols:
+            return F.lit(True)
+        while len(cols) > 1:
+            cols = [cols[i] & cols[i + 1] if i + 1 < len(cols) else cols[i]
+                    for i in range(0, len(cols), 2)]
+        return cols[0]
 
 
 class CompileError(ValueError):
@@ -891,10 +894,13 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
 
 
 def _or_all(preds: list[Column]) -> Column:
-    out = F.lit(False)
-    for p in preds:
-        out = out | p
-    return out
+    if not preds:
+        return F.lit(False)
+    preds = list(preds)
+    while len(preds) > 1:
+        preds = [preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+                 for i in range(0, len(preds), 2)]
+    return preds[0]
 
 
 def _emit_output(schema: Schema, name: str, conv: Column,
@@ -1172,7 +1178,10 @@ def _compile_dependency(dep: Dependency, ctx: _Ctx, plan: CompiledPlan,
 
 
 def _and_all(preds: list[Column]) -> Column:
-    out = F.lit(True)
-    for p in preds:
-        out = out & p
-    return out
+    if not preds:
+        return F.lit(True)
+    preds = list(preds)
+    while len(preds) > 1:
+        preds = [preds[i] & preds[i + 1] if i + 1 < len(preds) else preds[i]
+                 for i in range(0, len(preds), 2)]
+    return preds[0]

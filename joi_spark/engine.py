@@ -27,6 +27,18 @@ from joi_spark.dsl.manifest import manifest_hash
 VIOLATION_COLS = ("seq", "code", "path", "message", "severity")
 
 
+def _balanced(cols: list[Column], op, empty: Column) -> Column:
+    """Pairwise-balanced reduction — a linear fold of hundreds of
+    predicates builds a Column tree deep enough to overflow the JVM
+    stack during conversion; a balanced tree is O(log n) deep."""
+    if not cols:
+        return empty
+    while len(cols) > 1:
+        cols = [op(cols[i], cols[i + 1]) if i + 1 < len(cols) else cols[i]
+                for i in range(0, len(cols), 2)]
+    return cols[0]
+
+
 class ValidationResult:
     """Spark-side analogue of the reference's ``{ value, error, warning }``
     (reference: lib/base.js:573-576) — lazily-evaluated DataFrames."""
@@ -56,16 +68,17 @@ class ValidationResult:
         return df
 
     def _ok_expr(self, severity: str = "error") -> Column:
-        ok = F.lit(True)
-        for c in self.plan.checks:
-            if c.severity == severity:
-                ok = ok & c.predicate
-        return ok
+        return _balanced([c.predicate for c in self.plan.checks
+                          if c.severity == severity],
+                         lambda a, b: a & b, F.lit(True))
 
-    def _violation_array(self, pred_for=None) -> Column:
+    def _violation_array(self, pred_for=None,
+                         slice_errors: bool | None = None) -> Column:
         """``pred_for(i, check) -> Column`` substitutes materialized
         boolean columns for the raw predicates (so expensive predicates
-        — regexes, from_json, external UDFs — evaluate once)."""
+        — regexes, from_json, external UDFs — evaluate once);
+        ``slice_errors`` overrides the abort_early first-error slicing
+        (verdict counting needs the full array)."""
         entries = []
         for i, c in enumerate(self.plan.checks):
             pred = pred_for(i, c) if pred_for is not None else c.predicate
@@ -84,7 +97,7 @@ class ValidationResult:
                 "message:string,severity:string>>")
         errors = F.filter(arr, lambda x: x["severity"] == F.lit("error"))
         warnings = F.filter(arr, lambda x: x["severity"] == F.lit("warn"))
-        if self.abort_early:
+        if self.abort_early if slice_errors is None else slice_errors:
             # report first failing rule per row, matching the
             # reference's per-value abortEarly order
             # (reference: lib/validator.js:308-311; SURVEY.md §4)
@@ -110,19 +123,30 @@ class ValidationResult:
         # materialize each check's boolean ONCE; the fail-filter and the
         # violation array both reference the materialized columns, so
         # expensive predicates (regex, from_json, external UDFs) are not
-        # re-evaluated per consumer
+        # re-evaluated per consumer.  ONLY below a width threshold:
+        # Catalyst's project-collapse/pushdown substitutes every alias
+        # back into its consumers, and with hundreds of checks the
+        # repeated tree copies blow up driver memory — wide plans use
+        # the raw predicates instead (each evaluated once per consumer,
+        # but the expression tree stays linear in check count).
         checks = self.plan.checks
-        base = self._renamed.withColumns(
-            {f"_c{i}": F.coalesce(c.predicate, F.lit(False))
-             for i, c in enumerate(checks)})
-        fail = F.lit(False)
-        for i, c in enumerate(checks):
-            if c.severity == "error" or include_warnings:
-                fail = fail | ~F.col(f"_c{i}")
+        if len(checks) <= 64:
+            base = self._renamed.withColumns(
+                {f"_c{i}": F.coalesce(c.predicate, F.lit(False))
+                 for i, c in enumerate(checks)})
+            fail = _balanced([~F.col(f"_c{i}") for i, c in enumerate(checks)
+                              if c.severity == "error" or include_warnings],
+                             lambda a, b: a | b, F.lit(False))
+            arr = self._violation_array(lambda i, c: F.col(f"_c{i}"))
+        else:
+            base = self._renamed
+            fail = _balanced([~c.predicate for c in checks
+                              if c.severity == "error" or include_warnings],
+                             lambda a, b: a | b, F.lit(False))
+            arr = self._violation_array()
         v = (base
              .filter(fail)
-             .withColumn("_violations",
-                         self._violation_array(lambda i, c: F.col(f"_c{i}")))
+             .withColumn("_violations", arr)
              .withColumn("_v", F.explode("_violations")))
         if not include_warnings:
             v = v.filter(F.col("_v.severity") == "error")
@@ -160,25 +184,37 @@ class ValidationResult:
         plain partial-aggregating projection, no struct arrays; the
         whole verdict is one codegen'd scan + tiny shuffle."""
         mh = manifest_hash(self.schema)
-        err_cnt = F.lit(0)
-        warn_cnt = F.lit(0)
-        for c in self.plan.checks:
-            term = (~c.predicate).cast("long")
-            if c.severity == "error":
-                err_cnt = err_cnt + term
-            else:
-                warn_cnt = warn_cnt + term
-        return (self._renamed
-                .withColumn("_ec", err_cnt)
-                .withColumn("_wc", warn_cnt)
-                .groupBy(*partition_by)
-                .agg(F.count(F.lit(1)).alias("n_rows"),
-                     F.sum("_ec").alias("n_violations"),
-                     F.sum("_wc").alias("n_warnings"),
-                     F.min((F.col("_ec") == 0).cast("int")).cast("boolean")
-                      .alias("pass"))
-                .withColumn("constraint_hash", F.lit(mh))
-                .orderBy(*partition_by))
+        if len(self.plan.checks) <= 64:
+            err_cnt = _balanced(
+                [(~c.predicate).cast("long") for c in self.plan.checks
+                 if c.severity == "error"], lambda a, b: a + b, F.lit(0))
+            warn_cnt = _balanced(
+                [(~c.predicate).cast("long") for c in self.plan.checks
+                 if c.severity != "error"], lambda a, b: a + b, F.lit(0))
+        else:
+            # wide plans: a 100s-of-terms sum breaks Janino codegen
+            # (no clean fallback); count failures from the violation
+            # array instead — array construction compiles fine at any
+            # width because element code is loop-shaped
+            arr = self._violation_array(slice_errors=False)
+            err_cnt = F.size(F.filter(
+                arr, lambda x: x["severity"] == F.lit("error"))).cast("long")
+            warn_cnt = F.size(F.filter(
+                arr, lambda x: x["severity"] == F.lit("warn"))).cast("long")
+        out = (self._renamed
+               .withColumn("_ec", err_cnt)
+               .withColumn("_wc", warn_cnt)
+               .groupBy(*partition_by)
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("_ec").alias("n_violations"),
+                    F.sum("_wc").alias("n_warnings"),
+                    F.min((F.col("_ec") == 0).cast("int")).cast("boolean")
+                     .alias("pass"))
+               .withColumn("constraint_hash", F.lit(mh)))
+        # order by the aggregated output's key columns, not the input
+        # expressions (which no longer resolve after the agg when the
+        # caller grouped on a derived Column)
+        return out.orderBy(*out.columns[:len(list(partition_by))])
 
     def is_valid(self) -> bool:
         """Whole-table verdict (drives ``assert_table``)."""

@@ -22,6 +22,15 @@ def get_spark(master: str | None = None, app: str = "joi_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate copies the explode's child expression
+        # into inferred filters; with wide schemas (hundreds of compiled
+        # checks in one violation array) the repeated tree duplication
+        # OOMs the driver during optimization.  The rule only pre-prunes
+        # empty arrays — our arrays are built after the row filter, so
+        # excluding it costs nothing.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # engine semantics depend on try_cast-style conversion, not errors
         .config("spark.sql.ansi.enabled", "false")

@@ -85,3 +85,25 @@ def test_value_projection_single_scan(spark):
     p = _plan(res.value)
     assert "Exchange" not in p, "conversion must not shuffle"
     assert p.count("FileScan") == 1
+
+
+def test_wide_schema_violations_do_not_blow_up(spark):
+    """Regression: hundreds of compiled checks must not OOM the driver
+    (balanced predicate trees + InferFiltersFromGenerate exclusion)."""
+    import time
+    import joi_spark as joi
+    N = 60
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        *[(F.col("id") % (i + 2)).cast("double").alias(f"c{i}")
+          for i in range(N)])
+    schema = joi.object({
+        f"c{i}": joi.number().min(0 if i else 1).max(1000).integer()
+        for i in range(N)})
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    assert len(res.plan.checks) > 300
+    t0 = time.time()
+    assert res.violations().count() == 2500   # id odd → c0 = 1 % 2 ... min(1) fails for id%2==0
+    assert res.verdicts([(F.col("id") % 2).alias("p")]).count() == 2
+    assert time.time() - t0 < 120
