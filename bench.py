@@ -51,6 +51,9 @@ def _bench_input(spark, n_turns: int):
     from joi_spark.sources.transcripts import seeded_transcripts
     turns_per_conv = 20
     path = f"/tmp/joi_bench_transcripts_{n_turns}_{BENCH_FILES}.parquet"
+    if os.path.exists(path) and not os.path.exists(f"{path}/_SUCCESS"):
+        import shutil
+        shutil.rmtree(path)   # partial write from an interrupted run
     if not os.path.exists(path):
         seeded_transcripts(spark, n_convs=n_turns // turns_per_conv,
                            turns_per_conv=turns_per_conv) \
@@ -72,6 +75,12 @@ def run_transcript_validation(spark, n_turns: int,
     df = _bench_input(spark, n_turns)
     schema = transcript_schema()
     n_rows = n_turns + 1  # seeded_transcripts adds one duplicate row
+    # warm the exact plans on a small slice so whole-stage codegen
+    # compilation (one-time JVM work) stays out of the throughput number
+    warm = joi.validate(df.limit(10_000), schema,
+                        prefs={"abort_early": False})
+    warm.violations().count()
+    warm.verdicts(["epoch"]).count()
     t0 = time.time()
     res = joi.validate(df, schema, prefs={"abort_early": False})
     n_row_viol = res.violations().count()
