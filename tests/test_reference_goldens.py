@@ -550,3 +550,17 @@ def test_rule_option_variants(spark):
         ("nexp.hex_fail", "0x10", [("number.base",
             '"v" must be a number')]),
     ])
+
+
+def test_remaining_casts(spark):
+    df = spark.createDataFrame([(1, True, 7.0, ["b", "a", "a"])],
+                               "id bigint, b boolean, n double, arr array<string>")
+    schema = joi.object({
+        "b": joi.boolean().cast("string"),
+        "n": joi.number().cast("string"),
+        "arr": joi.array().cast("set"),
+    })
+    row = joi.validate(df, schema).value.first()
+    assert row["b"] == "true"
+    assert row["n"] == "7.0"
+    assert sorted(row["arr"]) == ["a", "b"]   # set cast dedups
