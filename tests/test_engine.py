@@ -244,3 +244,21 @@ def test_strip_unknown_prefs(spark):
     # without strip: unknown column is a table-level error
     res2 = joi.validate(df, schema)
     assert res2.table_errors == ['"extra" is not allowed']
+
+
+def test_empty_dataframe(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([], "id bigint, v string")
+    schema = joi.object({"v": joi.string().min(2).required()})
+    res = joi.validate(df, schema, order_by=["id"])
+    assert res.violations().count() == 0
+    assert res.is_valid()
+    assert res.verdicts(["id"]).count() == 0
+
+
+def test_schema_with_no_checks(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    res = joi.validate(df, joi.object({}), order_by=["id"])
+    assert res.violations().count() == 0
+    assert res.is_valid()
