@@ -364,7 +364,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    """SimHash near-dup pairs — md5-based bit hash, so the DuckDB
+    oracle reproduces the exact 64-bit signatures."""
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=8)
 
@@ -375,8 +376,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, list(range(10)), k=5)
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approximate top-5 via random-hyperplane LSH candidates (the ANN
+    scale path); oracle reproduces the deterministic hyperplane
+    buckets, so this checks the bucketed plan itself, not just recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, list(range(10)), k=5, n_bits=4, n_tables=4)
+
+
 def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs ≥ 0.45 (exact all-pairs)."""
+    """embedding-cosine near-dup pairs ≥ 0.45 via the DEFAULT
+    RP-bucketed candidate path (4 bits × 8 tables); the oracle
+    reproduces the same deterministic buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_near_pairs(emb, threshold=0.45)
 
@@ -387,6 +398,117 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthetic_media(spark, 200)
     return MM.extract_features(media, dim=8).select(
         "media_id", "kind", "n_bytes", "digest")
+
+
+# ---------------------------------------------------------------------------
+# oracle-SQL generators for the LSH-family queries: the hyperplanes and
+# bit hashes are deterministic (md5-derived), so the DuckDB oracle can
+# reproduce the exact bucketed plan — embedded here as SQL literals
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64   # embeddings.parquet vector width (TESTDATA.md)
+
+
+def _rp_bucket_sql(alias: str, n_bits: int, seed: int,
+                   dim: int = _EMB_DIM) -> str:
+    """One RP bucket id as a DuckDB expression — mirrors
+    joi_spark.operators.similarity.rp_bucket_table bit-for-bit (the
+    hyperplane components are embedded as full-precision literals)."""
+    from joi_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(n_bits, dim, seed)
+    parts = []
+    for p in range(n_bits):
+        lit = "[" + ", ".join(repr(v) for v in planes[p]) + "]"
+        proj = (f"list_sum(list_transform(range({dim}), i -> "
+                f"CAST({alias}.embedding[i+1] AS DOUBLE) * ({lit})[i+1]))")
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+_COSINE_SQL = """
+    list_sum(list_transform(range(64),
+        i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(64),
+           i -> CAST({a}[i+1] AS DOUBLE) * CAST({a}[i+1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(64),
+           i -> CAST({b}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))))
+"""
+
+
+def _embedding_near_oracle(threshold: float = 0.45, n_bits: int = 4,
+                           n_tables: int = 8) -> str:
+    buckets = ", ".join(f"{_rp_bucket_sql('e', n_bits, t)} AS b{t}"
+                        for t in range(n_tables))
+    share = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    cs = _COSINE_SQL.format(a="ea", b="eb")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {buckets} FROM embeddings e),
+        cand AS (SELECT a.vec_id AS ida, c.vec_id AS idb,
+                        a.embedding AS ea, c.embedding AS eb
+                 FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({share})),
+        s AS (SELECT ida, idb, {cs} AS cs FROM cand)
+        SELECT ida AS id_a, idb AS id_b, round(cs, 6) AS cosine
+        FROM s WHERE round(cs, 6) >= {threshold}
+    """
+
+
+def _lsh_topk_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 4) -> str:
+    buckets = ", ".join(f"{_rp_bucket_sql('e', n_bits, t)} AS b{t}"
+                        for t in range(n_tables))
+    share = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    cs = _COSINE_SQL.format(a="qe", b="ce")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {buckets} FROM embeddings e),
+        cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        q.embedding AS qe, c.embedding AS ce
+                 FROM b q JOIN b c
+                   ON c.vec_id <> q.vec_id AND ({share})
+                 WHERE q.vec_id BETWEEN 0 AND 9),
+        s AS (SELECT query_id, neighbor_id, {cs} AS cs FROM cand),
+        r AS (SELECT query_id, neighbor_id, cs,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cs DESC, neighbor_id) AS rk
+              FROM s)
+        SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+               CAST(rk AS INT) AS rank
+        FROM r WHERE rk <= {k}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs: identical md5-derived
+    64-bit signatures, chunk-pigeonhole candidates, exact Hamming."""
+    sum_exprs = []
+    for b in range(64):
+        half = "hlo" if b < 32 else "hhi"
+        sum_exprs.append(
+            f"SUM(CASE WHEN (({half} >> {b % 32}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{b}")
+    chunk_exprs = []
+    for c in range(4):
+        terms = [f"(CASE WHEN s{c * 16 + i} > 0 THEN {1 << i} ELSE 0 END)"
+                 for i in range(16)]
+        chunk_exprs.append("(" + " + ".join(terms) + f") AS c{c}")
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    pigeon = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return f"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\\s+')) AS t
+                      FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hlo,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS hhi
+              FROM toks),
+        s AS (SELECT doc_id, {", ".join(sum_exprs)} FROM h GROUP BY doc_id),
+        c AS (SELECT doc_id, {", ".join(chunk_exprs)} FROM s),
+        p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                     CAST({ham} AS INT) AS hamming
+              FROM c a JOIN c b
+                ON a.doc_id < b.doc_id AND ({pigeon}))
+        SELECT ida AS id_a, idb AS id_b, hamming
+        FROM p WHERE hamming <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
         "embedding_near": q_embedding_near,
         "multimodal_features": q_multimodal_features,
     }
@@ -847,18 +970,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 5
         """,
-        "embedding_near": """
-            WITH s AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       list_sum(list_transform(range(len(a.embedding)),
-                           i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(range(len(a.embedding)),
-                              i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(range(len(b.embedding)),
-                              i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
-                       AS cs
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, round(cs, 6) AS cosine
-            FROM s WHERE round(cs, 6) >= 0.45
+        "embedding_near": _embedding_near_oracle(threshold=0.45),
+        "lsh_topk": _lsh_topk_oracle(k=5, n_bits=4, n_tables=4),
+        "simhash_pairs": _simhash_oracle(max_hamming=8),
+        "multimodal_features": """
+            SELECT id AS media_id,
+                   CASE WHEN id % 3 = 0 THEN 'image'
+                        WHEN id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(64 AS INT) AS n_bytes,
+                   sha256(sha256(CAST(id AS VARCHAR))) AS digest
+            FROM range(0, 200) t(id)
         """,
     }

@@ -162,7 +162,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True,
+                      persist_index: bool = True) -> DataFrame:
     """MinHash banding: split the signature into ``bands`` rows of
     ``num_perm/bands`` values, bucket-join docs sharing any band hash,
     then (optionally) verify candidates with exact Jaccard.
@@ -171,14 +172,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sub-quadratic scale path.  With r = num_perm/bands = 4, a pair at
     similarity s collides with prob 1-(1-s^4)^16 (≈1 for s ≥ 0.8).
     Returns ``(id_a, id_b, jaccard)`` like :func:`ngram_jaccard_pairs`.
+
+    The shingle inverted index is built ONCE and feeds all three
+    consumers — signatures, set sizes (``groupBy(_id).count()``), and
+    the candidate-verification join; shingling (tokenize + n-gram
+    assembly + explode) is the dominant cost at corpus scale, so it
+    must not be recomputed per stage.  ``persist_index=True`` caches
+    the exploded index (MEMORY_AND_DISK) so it is materialized once;
+    at extreme scale where the index exceeds cluster cache capacity,
+    pass False to trade one extra scan for zero cache footprint.
     """
+    from pyspark import StorageLevel
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("_id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    if persist_index:
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE aggregation produces both the signature mins and the shingle
+    # set size (shingles() is already distinct per doc)
+    mins = [F.min(F.xxhash64(F.lit(p), F.col("_sh"))).alias(f"_m{p}")
+            for p in range(num_perm)]
+    sigs = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *mins)
     banded = sigs.select(
-        F.col(id_col).alias("_id"),
+        "_id", "_n",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
+                     F.xxhash64(*[F.col(f"_m{b * r + i}") for i in range(r)])
                       .alias("bh"))
             for b in range(bands)])).alias("_b"))
     banded = banded.select("_id", F.col("_b.band").alias("_band"),
@@ -191,12 +212,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if not verify:
         return cands.select(F.col("_ida").alias("id_a"),
                             F.col("_idb").alias("id_b"))
-    sizes = df.select(F.col(id_col).alias("_id"),
-                      F.size(shingles(F.col(text_col), n)).alias("_n"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    idx = df.repartition(par, id_col) \
-            .select(F.col(id_col).alias("_id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    sizes = sigs.select("_id", "_n")
     ca = cands.join(idx.withColumnRenamed("_id", "_ida"), "_ida") \
               .select("_ida", "_idb", "_sh")
     cb = idx.select(F.col("_id").alias("_idb"), F.col("_sh"))
@@ -224,7 +240,12 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
                    n_chunks: int = 4) -> DataFrame:
     """64-bit SimHash as ``n_chunks`` 16-bit integer chunks
     ``(id, c0..c3)``: bit b of the signature is the sign of
-    Σ_tokens ±1 at position b of xxhash64(token).
+    Σ_tokens ±1 at position b of a 64-bit token hash.
+
+    The token hash is the first 16 hex chars of md5, split into two
+    32-bit halves — md5 (not xxhash64) so an external oracle
+    reproduces the exact signature bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(t), 1, 8))::BIGINT``).
 
     One explode + one groupBy with 64 partial-aggregating sums —
     signature width is constant regardless of document size.
@@ -234,9 +255,16 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
     idx = df.repartition(par, id_col) \
             .select(F.col(id_col).alias("_id"),
                     F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
-    h = F.xxhash64(F.col("_t"))
-    sums = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                         F.lit(1)).otherwise(F.lit(-1))).alias(f"_s{b}")
+    md5 = F.md5(F.col("_t"))
+    h_lo = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")    # bits 0-31
+    h_hi = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")    # bits 32-63
+
+    def bit(b: int):
+        h = h_lo if b < 32 else h_hi
+        return F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
+
+    sums = [F.sum(F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1)))
+             .alias(f"_s{b}")
             for b in range(64)]
     agg = idx.groupBy("_id").agg(*sums)
     chunk_cols = []
@@ -291,17 +319,25 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.9,
-                         block_bits: int = 0) -> DataFrame:
+                         n_bits: int = 4, n_tables: int = 8,
+                         exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold —
     ``(id_a, id_b, cosine)``.
 
-    ``block_bits`` = 0 is the exact all-pairs baseline (self-join —
-    only for modest corpora / verification).  With ``block_bits`` > 0,
-    candidates are restricted to pairs sharing a random-hyperplane
-    sign-bucket (see joi_spark.operators.similarity.rp_buckets) — the
-    sub-quadratic scale path.
+    The DEFAULT path is sub-quadratic: candidates are pairs sharing a
+    random-hyperplane sign-bucket in ≥1 of ``n_tables`` independent
+    ``n_bits``-bit tables (OR-amplification; see
+    joi_spark.operators.similarity.rp_bucket_table), generated by an
+    equi-join on (table, bucket) — the 100-TB-safe plan.  Collision
+    probability for a pair at angle θ is 1-(1-(1-θ/π)^n_bits)^n_tables
+    — ≈0.9998 at cosine 0.95 with the defaults; raise ``n_tables``
+    for higher recall at lower thresholds.
+
+    ``exact=True`` is the all-pairs O(n²) crossJoin baseline — ONLY
+    for verification / recall measurement at small scale, never the
+    production path.
     """
-    from joi_spark.operators.similarity import cosine_expr, rp_buckets
+    from joi_spark.operators.similarity import cosine_expr, rp_bucket_table
     # spread the left side: a broadcast-NL join's output parallelism is
     # the LEFT side's partition count, and a small table often arrives
     # in 1-2 partitions — repartition so the O(n²) cosine work fans out
@@ -309,17 +345,18 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")) \
           .repartition(par)
     b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
-    if block_bits > 0:
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
+    else:
         dim = len(df.select(vec_col).first()[0])
-        ba = rp_buckets(df, id_col, vec_col, n_bits=block_bits, dim=dim) \
-            .withColumnRenamed(id_col, "_ida")
-        bb = ba.withColumnRenamed("_ida", "_idb")
-        pairs = (ba.join(bb, "bucket")
+        bt = rp_bucket_table(df, id_col, vec_col, n_bits=n_bits,
+                             n_tables=n_tables, dim=dim)
+        ba = bt.withColumnRenamed(id_col, "_ida")
+        bb = bt.withColumnRenamed(id_col, "_idb")
+        pairs = (ba.join(bb, ["table", "bucket"])
                    .filter(F.col("_ida") < F.col("_idb"))
                    .select("_ida", "_idb").distinct()
                    .join(a, "_ida").join(b, "_idb"))
-    else:
-        pairs = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
     cs = cosine_expr(F.col("_va"), F.col("_vb"))
     return (pairs.withColumn("cosine", F.round(cs, 6))
                  .filter(F.col("cosine") >= threshold)

@@ -49,13 +49,18 @@ FEATURE_SCHEMA = T.StructType([
 def synthetic_media(spark: SparkSession, n: int = 1000,
                     partitions: int | None = None) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA — payload
-    bytes derived from sha2 of the id (column algebra, no driver data)."""
+    bytes derived from sha2 of the id (column algebra, no driver data).
+
+    The payload is the 64 ASCII bytes of the sha256 hex string (a
+    string→binary cast, i.e. UTF-8 bytes) — ASCII rather than raw
+    digest bytes so an external oracle that can only hash VARCHARs
+    (DuckDB sha256) reproduces ``sha256(payload)`` exactly via
+    ``sha256(sha256(CAST(id AS VARCHAR)))``."""
     df = spark.range(0, n, 1,
                      partitions or spark.sparkContext.defaultParallelism)
     kind = (F.when(F.col("id") % 3 == 0, "image")
              .when(F.col("id") % 3 == 1, "audio").otherwise("video"))
-    payload = F.to_binary(
-        F.sha2(F.col("id").cast("string"), 256), F.lit("hex"))
+    payload = F.sha2(F.col("id").cast("string"), 256).cast("binary")
     meta = F.struct(
         F.when(kind == "image", ((F.col("id") % 64) + 1) * 16)
          .cast("int").alias("width"),

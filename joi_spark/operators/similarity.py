@@ -102,6 +102,38 @@ def rp_buckets(df: DataFrame, id_col: str = "vec_id",
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def rp_bucket_table(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_bits: int = 4,
+                    n_tables: int = 8,
+                    dim: int | None = None) -> DataFrame:
+    """OR-amplified bucket assignments over ``n_tables`` independent
+    hyperplane tables — ``(id, table, bucket)``, one row per (row,
+    table).  All tables are computed in ONE map-only projection + one
+    explode (no union of n_tables scans); candidate generation then
+    equi-joins on (table, bucket).  Shared by :func:`lsh_topk` and
+    embedding near-dup blocking (joi_spark.operators.dedup)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    vec = F.col(vec_col)
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_bits, dim, seed=t)
+        bucket = F.lit(0)
+        for p in range(n_bits):
+            plane = F.array(*[F.lit(v) for v in planes[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)) \
+                               .otherwise(F.lit(0))
+        per_table.append(F.struct(F.lit(t).alias("table"),
+                                  bucket.cast("int").alias("bucket")))
+    return (df.select(F.col(id_col),
+                      F.explode(F.array(*per_table)).alias("_tb"))
+              .select(id_col, F.col("_tb.table").alias("table"),
+                      F.col("_tb.bucket").alias("bucket")))
+
+
 def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_bits: int = 4, n_tables: int = 4) -> DataFrame:
@@ -114,14 +146,8 @@ def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
     recall rises with ``n_tables`` (union of tables = OR-amplification).
     """
     dim = len(df.select(vec_col).first()[0])
-    tabs = []
-    for t in range(n_tables):
-        b = rp_buckets(df, id_col, vec_col, n_bits=n_bits, dim=dim,
-                       seed=t).withColumn("table", F.lit(t))
-        tabs.append(b)
-    buckets = tabs[0]
-    for t in tabs[1:]:
-        buckets = buckets.unionAll(t)
+    buckets = rp_bucket_table(df, id_col, vec_col, n_bits=n_bits,
+                              n_tables=n_tables, dim=dim)
     qb = buckets.filter(F.col(id_col).isin(query_ids)) \
                 .select(F.col(id_col).alias("query_id"), "table", "bucket")
     cb = buckets.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
