@@ -66,16 +66,31 @@ class CheckpointedRun:
 
     # -- one run ------------------------------------------------------
     def run(self, df: DataFrame, **validate_kw) -> dict:
-        """Validate all pending partitions; append violations + manifest.
-        Returns a summary dict (partitions completed this run)."""
+        """Validate all pending partitions; write violations, THEN the
+        manifest.  Returns a summary dict (partitions completed this run).
+
+        Crash-safety: violation rows are written with the constraint
+        hash and via DYNAMIC partition overwrite — a crash between the
+        violations write and the manifest write leaves the partition
+        un-manifested, so resume re-validates it and the overwrite
+        REPLACES (not appends) the partial rows; no duplicates.  A
+        schema change flows through the hash: :meth:`violations`
+        filters on it, so old-hash rows never mix into reads."""
         pending = self.pending(df)
         if pending.isEmpty():
             return {"completed_now": 0, "resumed": True}
         res = validate(pending, self.schema, **validate_kw)
-        # violations written keyed by partition value for selective re-reads
-        viol = res.violations(extra_cols=[self.partition_col])
-        viol.write.mode("append").partitionBy(self.partition_col) \
-            .parquet(self.violations_path)
+        viol = (res.violations(extra_cols=[self.partition_col])
+                .withColumn("constraint_hash", F.lit(self.hash)))
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            viol.write.mode("overwrite").partitionBy(self.partition_col) \
+                .parquet(self.violations_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         verd = (res.verdicts([self.partition_col])
                 .withColumn("engine_version", F.lit(ENGINE_VERSION)))
         verd.write.mode("append").parquet(self.manifest_path)
@@ -88,4 +103,7 @@ class CheckpointedRun:
             .filter(F.col("constraint_hash") == self.hash)
 
     def violations(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.violations_path)
+        """Violation rows under THIS constraint hash — the lineage
+        guarantee holds for violations, not just the manifest."""
+        return spark.read.parquet(self.violations_path) \
+            .filter(F.col("constraint_hash") == self.hash)

@@ -612,18 +612,28 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                                                 F.lit(False)),
                                      F.lit(msg)))
         fields = {f.name: f.dataType for f in dtype.fields}
+        # children of an ABSENT (null) parent are skipped entirely —
+        # a required child fires only when the parent struct is present
+        # (reference: lib/types/object.js:114-142 validates keys of the
+        # resolved object value; a null parent never recurses)
+        parent_ok = F.col(name).isNotNull()
+        child_cond = parent_ok if cond is None else (cond & parent_ok)
         for k, sub in schema._terms["keys"].items():
             if k not in fields:
                 if sub._flags.get("presence") == "required":
                     label = _label(sub, f"{name}.{k}")
                     msg = E.render_static("any.required", {"label": label},
                                           overrides=sub._messages)
+                    # statically-missing field: fails exactly where the
+                    # parent is present
                     plan.checks.append(Check(ctx.next_seq(), f"{name}.{k}",
-                                             "any.required", F.lit(False),
+                                             "any.required",
+                                             ~F.coalesce(child_cond,
+                                                         F.lit(False)),
                                              F.lit(msg)))
                 continue
             compile_column(sub, f"{name}.{k}", fields[k], ctx, plan,
-                           cond=cond)
+                           cond=child_cond)
         return
 
     if schema.type == "link":

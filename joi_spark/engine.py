@@ -129,15 +129,20 @@ class ValidationResult:
         # repeated tree copies blow up driver memory — wide plans use
         # the raw predicates instead (each evaluated once per consumer,
         # but the expression tree stays linear in check count).
+        # collision-proof names: Spark's own default headerless-CSV
+        # columns are _c0, _c1, ... — withColumns would silently
+        # REPLACE a user column of that name, corrupting message
+        # rendering and order_by
         checks = self.plan.checks
         if len(checks) <= 64:
             base = self._renamed.withColumns(
-                {f"_c{i}": F.coalesce(c.predicate, F.lit(False))
+                {f"__joi_c{i}": F.coalesce(c.predicate, F.lit(False))
                  for i, c in enumerate(checks)})
-            fail = _balanced([~F.col(f"_c{i}") for i, c in enumerate(checks)
+            fail = _balanced([~F.col(f"__joi_c{i}")
+                              for i, c in enumerate(checks)
                               if c.severity == "error" or include_warnings],
                              lambda a, b: a | b, F.lit(False))
-            arr = self._violation_array(lambda i, c: F.col(f"_c{i}"))
+            arr = self._violation_array(lambda i, c: F.col(f"__joi_c{i}"))
         else:
             base = self._renamed
             fail = _balanced([~c.predicate for c in checks

@@ -101,7 +101,7 @@ def ks_statistic(df: DataFrame, column: str, *, epoch_col: str = "epoch",
         baseline_epoch = df.agg(F.min(epoch_col)).first()[0]
     epochs = frac.select("epoch").distinct()
     buckets = frac.select("bucket").distinct()
-    grid = epochs.crossJoin(buckets)
+    grid = epochs.crossJoin(F.broadcast(buckets))
     dense = grid.join(frac, ["epoch", "bucket"], "left") \
                 .fillna(0.0, ["frac"])
     w = (Window.partitionBy("epoch").orderBy("bucket")

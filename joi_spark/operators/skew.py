@@ -66,6 +66,8 @@ def salted_conversation_sizes(df: DataFrame, *, conv_col: str = "conv_id",
     turn-count bounds per conversation (≙ Joi ``array().min/max()``,
     reference: lib/types/array.js:354-388) computed via the salted
     two-phase aggregation.  Same violation-row shape."""
+    if min_turns is None and max_turns is None:
+        raise ValueError("min_turns or max_turns required")
     counts = salted_group_counts(df, conv_col, idx_col, salt)
     parts = []
     if min_turns is not None:

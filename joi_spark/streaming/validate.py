@@ -48,15 +48,17 @@ def stream_verdicts(stream_df: DataFrame, schema: Schema, *,
     n_warnings, pass, constraint_hash)`` — pair with
     ``.writeStream.outputMode('append')`` (emits a window once the
     watermark passes it) or ``'update'``."""
+    from joi_spark.engine import _balanced
     res = validate(stream_df, schema, prefs=prefs, order_by=[])
-    err_cnt = F.lit(0)
-    warn_cnt = F.lit(0)
-    for c in res.plan.checks:
-        term = (~c.predicate).cast("long")
-        if c.severity == "error":
-            err_cnt = err_cnt + term
-        else:
-            warn_cnt = warn_cnt + term
+    # balanced reduction, not a linear fold — wide schemas (hundreds of
+    # checks) overflow the JVM stack on deep linear Column trees (same
+    # guard the batch engine applies in ValidationResult.verdicts)
+    err_cnt = _balanced([(~c.predicate).cast("long")
+                         for c in res.plan.checks if c.severity == "error"],
+                        lambda a, b: a + b, F.lit(0))
+    warn_cnt = _balanced([(~c.predicate).cast("long")
+                          for c in res.plan.checks if c.severity != "error"],
+                         lambda a, b: a + b, F.lit(0))
     return (res.checked
             .withColumn("_ec", err_cnt).withColumn("_wc", warn_cnt)
             .withWatermark(event_time_col, watermark_delay)

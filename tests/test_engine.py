@@ -262,3 +262,20 @@ def test_schema_with_no_checks(spark):
     res = joi.validate(df, joi.object({}), order_by=["id"])
     assert res.violations().count() == 0
     assert res.is_valid()
+
+
+def test_user_column_named_c0_not_clobbered(spark):
+    """Spark's default headerless-CSV columns are _c0, _c1, ... — the
+    engine's materialized check booleans must not collide with a user
+    column of that name (ADVICE round 1, item 3): the value-splicing
+    message must read the real column, not the boolean."""
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "bad")], "id bigint, _c0 string")
+    schema = joi.object({"_c0": joi.string().pattern("^g")})
+    res = joi.validate(df, schema, order_by=["id"],
+                      prefs={"abort_early": False})
+    rows = res.violations().collect()
+    assert [(r["path"], r["code"]) for r in rows] == \
+        [("_c0", "string.pattern.base")]
+    assert rows[0]["message"] == \
+        '"_c0" with value "bad" fails to match the required pattern: /^g/'

@@ -28,6 +28,40 @@ def test_struct_column_keys(spark):
     ]
 
 
+def test_null_parent_skips_children(spark):
+    """A required child inside an ABSENT (null) parent struct must not
+    fire — the reference never recurses into a missing object
+    (ADVICE round 1, item 1)."""
+    df = spark.createDataFrame(
+        [(1, ("alice", 30)), (2, None), (3, ("bob", None))],
+        "id bigint, user struct<name:string, age:int>")
+    schema = joi.object({
+        "user": joi.object({
+            "name": joi.string(),
+            "age": joi.number().required(),
+        }),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["path"], r["code"])
+           for r in res.violations().collect()]
+    assert got == [(3, "user.age", "any.required")]
+
+
+def test_null_parent_skips_missing_field_check(spark):
+    """Statically-missing required field: fails only where the parent
+    struct is present."""
+    df = spark.createDataFrame(
+        [(1, ("x",)), (2, None)], "id bigint, user struct<name:string>")
+    schema = joi.object({
+        "user": joi.object({"email": joi.string().required()}),
+    })
+    res = joi.validate(df, schema, order_by=["id"])
+    got = [(r["id"], r["path"], r["code"])
+           for r in res.violations().collect()]
+    assert got == [(1, "user.email", "any.required")]
+
+
 def test_struct_missing_required_field(spark):
     df = spark.createDataFrame([(1, ("x",))],
                                "id bigint, user struct<name:string>")

@@ -108,3 +108,35 @@ def test_checkpoint_schema_change_invalidates(spark, ckpt_dir):
     assert r["completed_now"] == 2          # re-validated under new hash
     assert run2.manifest(spark).count() == 2
     assert run2.manifest(spark).filter(~F.col("pass")).count() == 2
+
+
+def test_checkpoint_violations_lineage(spark, ckpt_dir):
+    """violations() returns only rows for THIS constraint hash, and a
+    re-validated partition does not accumulate duplicate rows
+    (ADVICE round 1, item 2)."""
+    df = clean_transcripts(spark, n_convs=10, turns_per_conv=10, n_epochs=2)
+    strict = joi.object({"role": joi.string().valid("system").required()})
+    run1 = CheckpointedRun(ckpt_dir, strict, "epoch")
+    run1.run(df)
+    n1 = run1.violations(spark).count()
+    assert n1 > 0
+    assert run1.violations(spark).filter(
+        F.col("constraint_hash") != run1.hash).count() == 0
+    # schema change → every partition re-validates under a new hash;
+    # old-hash rows must not leak into the new read
+    stricter = joi.object({"role": joi.string().valid("nobody").required()})
+    run2 = CheckpointedRun(ckpt_dir, stricter, "epoch")
+    run2.run(df)
+    n2 = run2.violations(spark).count()
+    assert n2 == df.count()                 # every row fails 'nobody'
+    # a partial re-run of the SAME hash overwrites, never appends:
+    # simulate a crash-before-manifest by wiping the manifest dir
+    import shutil as _sh
+    _sh.rmtree(run2.manifest_path, ignore_errors=True)
+    run2.run(df)                            # everything re-validates
+    assert run2.violations(spark).count() == n2
+
+
+def test_salted_sizes_requires_a_bound(skewed):
+    with pytest.raises(ValueError, match="min_turns or max_turns"):
+        SK.salted_conversation_sizes(skewed)
