@@ -261,15 +261,23 @@ class DateSchema(Schema):
         # reference: lib/types/date.js:70-75
         return self._add_rule("less", {"date": limit})
 
+    def format(self, format: str):
+        # reference: lib/types/date.js:81-88 — ONLY iso/javascript/unix
+        # (the reference asserts the same closed set; there is no
+        # arbitrary-format support to mirror)
+        if format not in ("iso", "javascript", "unix"):
+            raise ValueError(f"Unknown date format {format}")
+        return self._set_flag("format", format)
+
     def iso(self):
-        # reference: lib/types/date.js:81-88
-        return self._set_flag("format", "iso")
+        # reference: lib/types/date.js:98-102
+        return self.format("iso")
 
     def timestamp(self, type_: str = "javascript"):
         # reference: lib/types/date.js:125-132
         if type_ not in ("javascript", "unix"):
             raise ValueError("type must be 'javascript' or 'unix'")
-        return self._set_flag("format", type_)
+        return self.format(type_)
 
 
 class ArraySchema(Schema):
@@ -295,15 +303,31 @@ class ArraySchema(Schema):
         # reference: lib/types/array.js:368-373
         return self._add_rule("length", {"limit": _limit_arg(limit)})
 
-    def unique(self):
-        # reference: lib/types/array.js:468-558
-        return self._add_rule("unique")
+    def unique(self, comparator=None, *, ignore_undefined: bool = False,
+               separator: str = "."):
+        """reference: lib/types/array.js:468-558.  ``comparator`` is a
+        dotted path string (struct-field uniqueness) or a callable
+        ``(a, b) -> boolean Column`` (True = duplicates) — the Spark
+        analogue of the reference's custom comparator function."""
+        args: dict = {"ignoreUndefined": ignore_undefined}
+        if isinstance(comparator, str):
+            args["path"] = comparator.split(separator) if separator \
+                else [comparator]
+        elif callable(comparator):
+            args["comparator"] = comparator
+        elif comparator is not None:
+            raise TypeError("comparator must be a function or a string")
+        return self._add_rule("unique", args)
 
-    def sort(self, *, order: str = "ascending"):
-        # reference: lib/types/array.js:420-452
+    def sort(self, *, order: str = "ascending",
+             by: str | None = None, separator: str = "."):
+        # reference: lib/types/array.js:420-452 (by: 740-813)
         if order not in ("ascending", "descending"):
             raise ValueError("order must be 'ascending' or 'descending'")
-        return self._add_rule("sort", {"order": order})
+        args: dict = {"order": order}
+        if by is not None:
+            args["by"] = by.split(separator) if separator else [by]
+        return self._add_rule("sort", args)
 
     def sparse(self, enabled: bool = True):
         # reference: lib/types/array.js:454-466 — no null holes

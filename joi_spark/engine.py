@@ -63,6 +63,10 @@ class ValidationResult:
     @property
     def _renamed(self) -> DataFrame:
         df = self._df
+        if self.plan.pre_drops:             # rename(override=True): replaced
+            df = df.drop(*self.plan.pre_drops)
+        for frm, to in self.plan.aliases:   # rename(alias=True): keep source
+            df = df.withColumn(to, F.col(frm))
         for frm, to in self.plan.renames:
             df = df.withColumnRenamed(frm, to)
         return df

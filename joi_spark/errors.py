@@ -2,8 +2,13 @@
 
 Templates restated from the reference's per-type message tables (cited
 per block below); they are the byte-for-byte output contract — tests
-compare rendered messages against goldens harvested by *running* the
-reference (tests/goldens/, produced by tools/harvest_goldens.mjs).
+compare rendered messages against golden cases hand-ported from the
+reference's own unit suites (tests/test_reference_goldens.py; inputs
+and expected message strings transcribed from test/types/*.js, which
+assert the exact message text inline).  Machine-harvesting by running
+the reference is not possible in this environment: its npm
+dependencies (@hapi/hoek, @hapi/address, ...) are not installed and
+there is no network access.
 
 Rendering strategy: the template placeholders that depend only on the
 schema ({{#label}}, {{#limit}}, {{#valids}}, …) are interpolated
@@ -227,6 +232,45 @@ def render_static(code: str, ctx: dict[str, Any], *,
     return _interpolate(template, ctx)
 
 
+_FORMULA_CONSTANTS = {
+    # reference: lib/template.js internals.constants
+    "true": True, "false": False, "null": None,
+    "second": 1000, "minute": 60 * 1000, "hour": 60 * 60 * 1000,
+    "day": 24 * 60 * 60 * 1000,
+}
+
+
+def _eval_formula(expr: str, ctx: dict[str, Any]):
+    """Arithmetic formula over error-context variables — the
+    driver-side realization of the reference's @hapi/formula templates
+    (lib/template.js:348-375): ``{#limit + 1}``, ``{#a * #b}``.
+    Supports + - * / unary-minus, numeric literals, and the template
+    constants.  Raises on anything unresolvable (caller leaves the
+    braces untouched, matching the reference's non-matching-brace
+    passthrough)."""
+    import ast
+    import operator as _op
+    ops = {ast.Add: _op.add, ast.Sub: _op.sub,
+           ast.Mult: _op.mul, ast.Div: _op.truediv}
+
+    def ev(n):
+        if isinstance(n, ast.BinOp) and type(n.op) in ops:
+            return ops[type(n.op)](ev(n.left), ev(n.right))
+        if isinstance(n, ast.UnaryOp) and isinstance(n.op, ast.USub):
+            return -ev(n.operand)
+        if isinstance(n, ast.Constant) and isinstance(n.value, (int, float)):
+            return n.value
+        if isinstance(n, ast.Name):
+            if n.id in ctx:
+                return ctx[n.id]
+            return _FORMULA_CONSTANTS[n.id]
+        raise KeyError(ast.dump(n))
+
+    # '#name' context-variable prefix is not a python identifier —
+    # context keys carry no '#', so strip it before parsing
+    return ev(ast.parse(expr.replace("#", ""), mode="eval").body)
+
+
 def _interpolate(template: str, ctx: dict[str, Any]) -> str:
     out = template
     # double-brace {{#x}} wraps arrays; single-brace {#x} does not
@@ -238,8 +282,15 @@ def _interpolate(template: str, ctx: dict[str, Any]) -> str:
     def repl_single(m):
         key = m.group(1)
         return stringify(ctx.get(key, ""), wrap_arrays=False)
+    def repl_formula(m):
+        try:
+            return stringify(_eval_formula(m.group(1), ctx),
+                             wrap_arrays=False)
+        except Exception:
+            return m.group(0)   # non-evaluable braces pass through
     out = _re.sub(r"\{\{#([\w.]+)\}\}", repl_double, out)
     out = _re.sub(r"\{#([\w.]+)\}", repl_single, out)
+    out = _re.sub(r"\{([^{}]+)\}", repl_formula, out)
     return out
 
 

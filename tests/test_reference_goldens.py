@@ -564,3 +564,91 @@ def test_remaining_casts(spark):
     assert row["b"] == "true"
     assert row["n"] == "7.0"
     assert sorted(row["arr"]) == ["a", "b"]   # set cast dedups
+
+
+# --- domain/email option suites (reference: test/types/string.js
+# describe('domain()') 722-831, describe('email()') 833-1200) -------------
+
+def test_domain_golden_cases(spark):
+    # reference: test/types/string.js:751-774 — base domain needs >= 2
+    # segments and rejects quoted junk
+    run_cases(spark, joi.string().domain(), "string", [
+        ("dom.ok", "example.com", []),
+        ("dom.bare_tld", "com", [("string.domain",
+            '"v" must contain a valid domain name')]),
+        ("dom.quoted", '"example.com', [("string.domain",
+            '"v" must contain a valid domain name')]),
+    ])
+    # reference: test/types/string.js:777-793 — tlds.allow
+    run_cases(spark, joi.string().domain(tlds={"allow": ["com", "org"]}),
+              "string", [
+        ("tld.com", "example.com", []),
+        ("tld.org", "example.org", []),
+        ("tld.edu", "example.edu", [("string.domain",
+            '"v" must contain a valid domain name')]),
+    ])
+    # reference: test/types/string.js:795-819 — minDomainSegments: 4
+    run_cases(spark, joi.string().domain(minDomainSegments=4), "string", [
+        ("seg.2", "example.com", [("string.domain",
+            '"v" must contain a valid domain name')]),
+        ("seg.3", "www.example.com", [("string.domain",
+            '"v" must contain a valid domain name')]),
+        ("seg.4", "sub.www.example.com", []),
+    ])
+
+
+def test_domain_friendly_error_label(spark):
+    # reference: test/types/string.js:821-830 — label/key in message
+    df = spark.createDataFrame([("1", "something")],
+                               "case_id string, item string")
+    schema = joi.object({"item": joi.string().domain()})
+    res = joi.validate(df, schema, order_by=["case_id"])
+    assert [r["message"] for r in res.violations().collect()] == \
+        ['"item" must contain a valid domain name']
+
+
+def test_email_tlds_golden_cases(spark):
+    run_cases(spark, joi.string().email(tlds={"deny": ["example"]}),
+              "string", [
+        ("deny.ok", "a@b.com", []),
+        ("deny.fail", "a@b.example", [("string.email",
+            '"v" must be a valid email')]),
+    ])
+    run_cases(spark, joi.string().email(minDomainSegments=3), "string", [
+        ("seg.fail", "a@b.com", [("string.email",
+            '"v" must be a valid email')]),
+        ("seg.ok", "a@c.b.com", []),
+    ])
+
+
+# --- array unique/sort/single (reference: test/types/array.js) -------------
+
+def test_array_unique_golden_cases(spark):
+    # reference: test/types/array.js unique suite — plain + message
+    run_cases(spark, joi.array().unique(), "array<int>", [
+        ("uniq.ok", [1, 2, 3], []),
+        ("uniq.fail", [1, 2, 1], [("array.unique",
+            '"v" contains a duplicate value')]),
+    ])
+
+
+def test_array_sort_golden_cases(spark):
+    run_cases(spark, joi.array().sort(), "array<int>", [
+        ("sort.ok", [1, 2, 3], []),
+        ("sort.fail", [2, 1], [("array.sort",
+            '"v" must be sorted in ascending order by value')]),
+    ])
+    run_cases(spark, joi.array().sort(order="descending"), "array<int>", [
+        ("dsort.ok", [3, 2, 1], []),
+        ("dsort.fail", [1, 2], [("array.sort",
+            '"v" must be sorted in descending order by value')]),
+    ])
+
+
+# --- template formula constants (reference: lib/template.js constants) -----
+
+def test_formula_constants_in_message(spark):
+    run_cases(spark, joi.number().max(1).messages(
+        {"number.max": 'too big; a day is {day} ms'}), "double", [
+        ("fml", 2.0, [("number.max", 'too big; a day is 86400000 ms')]),
+    ])
