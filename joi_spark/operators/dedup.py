@@ -337,27 +337,42 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     for verification / recall measurement at small scale, never the
     production path.
     """
-    from joi_spark.operators.similarity import cosine_expr, rp_bucket_table
-    # spread the left side: a broadcast-NL join's output parallelism is
-    # the LEFT side's partition count, and a small table often arrives
-    # in 1-2 partitions — repartition so the O(n²) cosine work fans out
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")) \
-          .repartition(par)
-    b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    from pyspark import StorageLevel
+    from joi_spark.operators.similarity import (dot_pandas_udf, norm_expr,
+                                                rp_bucket_table)
+    dim = len(df.select(vec_col).first()[0])
+    # Norms are computed ONCE per vector here (map-side), never per pair.
+    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+                  norm_expr(vec_col, dim).alias("_na"))
+    b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+                  norm_expr(vec_col, dim).alias("_nb"))
     if exact:
-        pairs = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
+        # spread the left side: a broadcast-NL join's output parallelism
+        # is the LEFT side's partition count, and a small table often
+        # arrives in 1-2 partitions — repartition so the O(n²) cosine
+        # work fans out (bucketed path: no repartition; a forced
+        # exchange would only block AQE's broadcast-join conversion)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        pairs = a.repartition(par).crossJoin(b) \
+                 .filter(F.col("_ida") < F.col("_idb"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        # bucket table persisted: both join sides read the SAME
+        # materialization (n·n_tables skinny rows) instead of
+        # recomputing every hyperplane projection twice
         bt = rp_bucket_table(df, id_col, vec_col, n_bits=n_bits,
-                             n_tables=n_tables, dim=dim)
+                             n_tables=n_tables, dim=dim) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         ba = bt.withColumnRenamed(id_col, "_ida")
         bb = bt.withColumnRenamed(id_col, "_idb")
         pairs = (ba.join(bb, ["table", "bucket"])
                    .filter(F.col("_ida") < F.col("_idb"))
                    .select("_ida", "_idb").distinct()
                    .join(a, "_ida").join(b, "_idb"))
-    cs = cosine_expr(F.col("_va"), F.col("_vb"))
+    # Arrow-batched dot (see similarity.dot_pandas_udf for why not the
+    # SQL form: the threshold filter would be pushed into the join
+    # condition and evaluated outside codegen)
+    cs = dot_pandas_udf()(F.col("_va"), F.col("_vb")) \
+        / (F.col("_na") * F.col("_nb"))
     return (pairs.withColumn("cosine", F.round(cs, 6))
                  .filter(F.col("cosine") >= threshold)
                  .select(F.col("_ida").alias("id_a"),
