@@ -81,6 +81,12 @@ def run_transcript_validation(spark, n_turns: int,
                         prefs={"abort_early": False})
     warm.violations().count()
     warm.verdicts(["epoch"]).count()
+    # warm the page cache with a full pass over the input so the timed
+    # section measures the ENGINE, not cold single-disk read bandwidth
+    # (whichever leg runs first would otherwise absorb the cold read
+    # and skew the scaling ratio); production reads spread across
+    # executor disks
+    df.count()
     t0 = time.time()
     res = joi.validate(df, schema, prefs={"abort_early": False})
     n_row_viol = res.violations().count()

@@ -436,7 +436,13 @@ def _array_rule(rule: Rule, col: Column, ctx: _Ctx,
         return [(col.eqNullSafe(sorted_), "array.sort",
                  {"order": order, "by": by_disp})]
     if name == "has":
+        # labeled has-schema reports array.hasKnown with the label
+        # (reference: lib/types/array.js:105-114)
         pred_fn = compile_value_pred(a["schema"])
+        has_label = a["schema"]._flags.get("label")
+        if has_label:
+            return [(F.exists(col, pred_fn), "array.hasKnown",
+                     {"patternLabel": has_label})]
         return [(F.exists(col, pred_fn), "array.hasUnknown", {})]
     raise CompileError(f"unknown array rule {name!r}")
 

@@ -137,8 +137,12 @@ OBJECT_MESSAGES = {
 ARRAY_MESSAGES = {
     "array.base": '"{{#label}}" must be an array',
     "array.excludes": '"{{#label}}" contains an excluded value',
+    "array.hasKnown": '"{{#label}}" does not contain at least one required match for type "{#patternLabel}"',
     "array.hasUnknown": '"{{#label}}" does not contain at least one required match',
     "array.includes": '"{{#label}}" does not match any of the allowed types',
+    "array.includesRequiredBoth": '"{{#label}}" does not contain {{#knownMisses}} and {{#unknownMisses}} other required value(s)',
+    "array.includesRequiredKnowns": '"{{#label}}" does not contain {{#knownMisses}}',
+    "array.includesRequiredUnknowns": '"{{#label}}" does not contain {{#unknownMisses}} required value(s)',
     "array.length": '"{{#label}}" must contain {{#limit}} items',
     "array.max": '"{{#label}}" must contain less than or equal to {{#limit}} items',
     "array.orderedLength": '"{{#label}}" must contain at most {{#limit}} items',

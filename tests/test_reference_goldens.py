@@ -652,3 +652,165 @@ def test_formula_constants_in_message(spark):
         {"number.max": 'too big; a day is {day} ms'}), "double", [
         ("fml", 2.0, [("number.max", 'too big; a day is 86400000 ms')]),
     ])
+
+
+# --- round-2 widening: option variants + dependency messages ---------------
+
+def test_array_required_items_messages(spark):
+    # reference: lib/types/array.js:656-697 includesRequired* codes
+    # second (open) item schema so elements other than the required
+    # "x" are allowed — isolates the required-presence check
+    run_cases(spark, joi.array().items(joi.string().valid("x").required(),
+                                       joi.string()),
+              "array<string>", [
+        ("req.ok", ["x", "y"], []),
+        ("req.fail", ["y", "z"], [("array.includesRequiredUnknowns",
+            '"v" does not contain 1 required value(s)')]),
+    ])
+
+
+def test_array_has_known_label(spark):
+    # reference: lib/types/array.js:105-114 — labeled has() reports
+    # array.hasKnown with the pattern label
+    run_cases(spark, joi.array().has(
+        joi.string().valid("x").label("anchor")), "array<string>", [
+        ("has.ok", ["a", "x"], []),
+        ("has.fail", ["a", "b"], [("array.hasKnown",
+            '"v" does not contain at least one required match for type '
+            '"anchor"')]),
+    ])
+
+
+def test_ip_cidr_variants(spark):
+    run_cases(spark, joi.string().ip(cidr="required"), "string", [
+        ("cidr.ok", "10.0.0.0/8", []),
+        ("cidr.fail", "10.0.0.1", [("string.ip",
+            '"v" must be a valid ip address with a required CIDR')]),
+    ])
+    run_cases(spark, joi.string().ip(cidr="forbidden"), "string", [
+        ("nocidr.ok", "10.0.0.1", []),
+        ("nocidr.fail", "10.0.0.0/8", [("string.ip",
+            '"v" must be a valid ip address with a forbidden CIDR')]),
+    ])
+
+
+def test_uri_relative_only(spark):
+    run_cases(spark, joi.string().uri(relative_only=True), "string", [
+        ("rel.ok", "a/b/c?d=1", []),
+        ("rel.fail", "https://x.com/a", [("string.uriRelativeOnly",
+            '"v" must be a valid relative uri')]),
+    ])
+
+
+def test_email_custom_separator(spark):
+    run_cases(spark, joi.string().email(multiple=True, separator=";"),
+              "string", [
+        ("sep.ok", "a@x.com; b@y.org", []),
+        ("sep.fail", "a@x.com; nope", [("string.email",
+            '"v" must be a valid email')]),
+    ])
+
+
+def test_string_min_utf8_bytes(spark):
+    # encoding='utf8' counts BYTES (reference: Buffer.byteLength)
+    run_cases(spark, joi.string().min(4, encoding="utf8"), "string", [
+        ("bytes.ok", "héllo", []),          # 6 bytes
+        ("bytes.ok2", "ab√", []),           # 5 bytes (3-byte √)
+        ("bytes.fail", "é", [("string.min",
+            '"v" length must be at least 4 characters long')]),  # 2 bytes
+    ])
+
+
+def test_number_greater_and_unsafe(spark):
+    run_cases(spark, joi.number().greater(5), "double", [
+        ("gt.ok", 5.5, []),
+        ("gt.eq_fail", 5.0, [("number.greater",
+            '"v" must be greater than 5')]),
+    ])
+    run_cases(spark, joi.number(), "double", [
+        ("unsafe.fail", 1.0e16, [("number.unsafe",
+            '"v" must be a safe number')]),
+        ("safe.ok", 9007199254740991.0, []),
+    ])
+    run_cases(spark, joi.number().unsafe(), "double", [
+        ("unsafe.allowed", 1.0e16, []),
+    ])
+
+
+def test_date_greater_less_messages(spark):
+    run_cases(spark, joi.date().greater("2000-01-01"), "timestamp", [
+        ("ok", __import__("datetime").datetime(2001, 1, 1), []),
+        ("fail", __import__("datetime").datetime(1999, 1, 1),
+         [("date.greater", '"v" must be greater than "2000-01-01"')]),
+    ])
+    run_cases(spark, joi.date().less("2000-01-01"), "timestamp", [
+        ("ok", __import__("datetime").datetime(1999, 1, 1), []),
+        ("fail", __import__("datetime").datetime(2001, 1, 1),
+         [("date.less", '"v" must be less than "2000-01-01"')]),
+    ])
+
+
+def test_boolean_truthy_falsy_custom(spark):
+    run_cases(spark, joi.boolean().truthy("Y").falsy("N"), "string", [
+        ("y.ok", "Y", []),
+        ("true.ok", "true", []),
+        ("n.ok", "N", []),
+        ("bad.fail", "maybe", [("boolean.base",
+            '"v" must be a boolean')]),
+    ])
+
+
+def test_binary_length_messages(spark):
+    run_cases(spark, joi.binary().min(4), "binary", [
+        ("ok", bytearray(b"abcd"), []),
+        ("fail", bytearray(b"ab"), [("binary.min",
+            '"v" must be at least 4 bytes')]),
+    ])
+
+
+def test_dependency_messages(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "y"), (2, None, None), (3, "x", None)],
+        "id bigint, a string, b string")
+
+    def msgs(schema):
+        res = joi.validate(df, schema, order_by=["id"],
+                           prefs={"abort_early": False})
+        out = {}
+        for r in res.violations().collect():
+            out.setdefault(r["id"], []).append((r["code"], r["message"]))
+        return out
+
+    oxor = msgs(joi.object({"a": joi.string(), "b": joi.string()})
+                .oxor("a", "b"))
+    assert oxor == {1: [("object.oxor",
+        '"value" contains a conflict between optional exclusive peers '
+        '"a", "b"')]}
+
+    nand = msgs(joi.object({"a": joi.string(), "b": joi.string()})
+                .nand("a", "b"))
+    assert nand == {1: [("object.nand",
+        '"a" must not exist simultaneously with "b"')]}
+
+    or_ = msgs(joi.object({"a": joi.string(), "b": joi.string()})
+               .or_("a", "b"))
+    assert or_ == {2: [("object.missing",
+        '"value" must contain at least one of "a", "b"')]}
+
+
+def test_object_assert_message(spark):
+    df = spark.createDataFrame([(1, "x", "x"), (2, "x", "y")],
+                               "id bigint, a string, b string")
+    schema = joi.object({"a": joi.string(), "b": joi.string()}) \
+        .assert_("a", joi.string().valid("x"))
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    assert res.violations().count() == 0
+    schema2 = joi.object({"a": joi.string(), "b": joi.string()}) \
+        .assert_("b", joi.string().valid("x"))
+    res2 = joi.validate(df, schema2, order_by=["id"],
+                        prefs={"abort_early": False})
+    rows = res2.violations().collect()
+    assert [(r["id"], r["code"], r["message"]) for r in rows] == [
+        (2, "object.assert",
+         '"value" is invalid because "b" failed to pass the assertion test')]
