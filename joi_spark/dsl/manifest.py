@@ -41,7 +41,12 @@ def _build_value(v: Any):
             ref_desc = v["ref"]
             prefix = {"global": "$", "local": "#"}.get(ref_desc.get("type"), "")
             key = ".".join(ref_desc["path"])
-            return Ref(prefix + key) if prefix else Ref(key)
+            # map rebuilds; adjust is a callback — like the reference,
+            # the manifest records only that a callback existed
+            m = ref_desc.get("map")
+            m = [tuple(p) for p in m] if m else None
+            return Ref(prefix + key, map=m) if prefix \
+                else Ref(key, map=m)
         if "type" in v and isinstance(v.get("type"), str) and v["type"] in _type_registry():
             return build(v)
         if set(v) == {"regex", "flags"}:

@@ -24,7 +24,7 @@ class Ref:
         if adjust is not None and not callable(adjust):
             raise TypeError("options.adjust must be a function")
         self.adjust = adjust
-        self.map = list(map) if map is not None else None
+        self.map = [tuple(p) for p in map] if map is not None else None
         raw = key
         if key.startswith("$"):
             self.kind = "global"

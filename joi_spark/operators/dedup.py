@@ -105,7 +105,8 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_freq: int | None = None) -> DataFrame:
+                        max_shingle_freq: int | None = None,
+                        persist_index: bool = True) -> DataFrame:
     """Exact Jaccard similarity over word-``n``-gram shingle sets for
     every pair sharing ≥1 shingle — ``(id_a, id_b, jaccard)``,
     ``id_a < id_b``, jaccard ≥ threshold.
@@ -113,10 +114,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Inverted-index self-join: shuffle keyed on the shingle string, pair
     counts partial-aggregate.  Cost is Σ df(shingle)² — bounded by
     ``max_shingle_freq`` pruning, NOT O(N²) in documents.
+
+    The exploded index feeds three consumers (both self-join sides +
+    the per-doc set sizes); ``persist_index`` caches it so shingling
+    — the dominant cost — runs once (same tradeoff as
+    :func:`minhash_lsh_pairs`).
     """
-    sizes = df.select(F.col(id_col).alias("_id"),
-                      F.size(shingles(F.col(text_col), n)).alias("_n"))
-    idx = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
+    from pyspark import StorageLevel
+    idx = _shingle_index(df, id_col, text_col, n, None)
+    if persist_index:
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    # set sizes from the UNPRUNED index (pruning drops hot shingles
+    # from candidate generation only; Jaccard is over full sets)
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_shingle_freq is not None:
+        freq = F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+        idx = idx.withColumn("_df", freq) \
+                 .filter(F.col("_df") <= max_shingle_freq).drop("_df")
     a = idx.select(F.col("_id").alias("_ida"), "_sh")
     b = idx.select(F.col("_id").alias("_idb"), "_sh")
     common = (a.join(b, "_sh")

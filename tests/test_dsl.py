@@ -61,6 +61,16 @@ def test_invalid_removes_from_valids():
     }).xor("a", "c").with_("a", ["b"]).assert_("a", joi.string().min(2)),
     joi.string().default("x").failover("y").label("L").description("d"),
     joi.any_().when("a", is_="x", then=joi.string().required()),
+    # round-2 surface: unique path / sort by / rename options /
+    # domain options / mapped refs / cast map / date format
+    joi.array().unique("k.x", ignore_undefined=True).sort(by="idx"),
+    joi.object({"dst": joi.string()})
+       .rename("src", "dst", alias=True, override=True),
+    joi.string().domain(minDomainSegments=3,
+                        tlds={"allow": ["com"], "deny": ["dev"]}),
+    joi.number().min(joi.ref("tier", map=[("gold", 50), ("basic", 1)])),
+    joi.object({"s": joi.object().cast("map")}),
+    joi.date().format("javascript"),
 ])
 def test_manifest_round_trip(schema):
     desc = schema.describe()
