@@ -394,10 +394,23 @@ def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
-    payloads (rows-only: synthetic media, deterministic fake decode)."""
+    payloads; DuckDB reproduces the sha256-of-ASCII-payload digests."""
     media = MM.synthetic_media(spark, 200)
     return MM.extract_features(media, dim=8).select(
         "media_id", "kind", "n_bytes", "digest")
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video frame-sampling plan: explode-before-decode so frame tasks
+    parallelize across the cluster (joi_spark.operators.multimodal)."""
+    media = MM.synthetic_media(spark, 200)
+    return MM.frame_sample_plan(media, every_ms=1000)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whitespace + BPE-ish regex token counting over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_stats(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -567,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "embedding_near": q_embedding_near,
         "multimodal_features": q_multimodal_features,
+        "frame_plan": q_frame_plan,
+        "token_stats": q_token_stats,
     }
 
 
@@ -981,5 +996,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS INT) AS n_bytes,
                    sha256(sha256(CAST(id AS VARCHAR))) AS digest
             FROM range(0, 200) t(id)
+        """,
+        "frame_plan": """
+            WITH m AS (SELECT id AS media_id,
+                              ((id % 300) + 1) * 100 AS dur
+                       FROM range(0, 200) t(id) WHERE id % 3 = 2),
+            f AS (SELECT media_id,
+                         greatest(CAST(floor(dur / 1000) AS INT), 1) AS n
+                  FROM m)
+            SELECT media_id,
+                   CAST(unnest(range(0, CAST((n - 1) * 1000 + 1 AS BIGINT),
+                                     1000)) AS INT) AS frame_ts_ms
+            FROM f
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS bpe_ish_tokens,
+                   round(length(text) / nullif(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 6)
+                       AS chars_per_token
+            FROM documents
         """,
     }

@@ -27,6 +27,7 @@ from joi_spark.dsl.compile_literal import compile_literal as compile  # noqa: A0
 from joi_spark.dsl.manifest import build, manifest_hash, manifest_json
 from joi_spark.dsl.objects import AlternativesSchema, ObjectSchema
 from joi_spark.dsl.ref import Ref, is_ref, ref
+from joi_spark.dsl.template import Template, x  # noqa: F401  (Joi.x)
 from joi_spark.dsl.types import (AnySchema, ArraySchema, BinarySchema,
                                  BooleanSchema, DateSchema, NumberSchema,
                                  StringSchema)
@@ -98,6 +99,11 @@ def is_schema(v) -> bool:
     return isinstance(v, Schema)
 
 
+def is_expression(v) -> bool:
+    # reference: Joi.isExpression (lib/index.js)
+    return isinstance(v, Template)
+
+
 # shortcuts on any (reference: lib/index.js:54-59)
 def required() -> AnySchema:
     return AnySchema().required()
@@ -117,6 +123,7 @@ def invalid(*values) -> AnySchema:
 
 __all__ = [
     "Schema", "Ref", "ref", "is_ref", "is_schema", "compile", "build",
+    "Template", "x", "is_expression",
     "manifest_hash", "manifest_json",
     "any_", "string", "number", "boolean", "bool_", "date", "array",
     "binary", "object", "alternatives", "link", "extend",

@@ -1043,17 +1043,27 @@ def _emit_output(schema: Schema, name: str, conv: Column,
                  dtype: T.DataType | None = None) -> None:
     """Output shaping: default → failover → cast → strip
     (reference: lib/validator.js:351-430)."""
+    from joi_spark.dsl.template import Template
+
+    def dynamic(v) -> Column:
+        # literal | ref | joi.x template (reference accepts all three
+        # for default/failover: lib/base.js:105-134)
+        if isinstance(v, Ref):
+            return ctx.resolve(v)
+        if isinstance(v, Template):
+            return v.compile_column(ctx)
+        return F.lit(v)
+
     out = conv
     if "default" in schema._flags:
-        d = schema._flags["default"]
-        out = F.coalesce(out, ctx.resolve(d) if isinstance(d, Ref) else F.lit(d))
+        out = F.coalesce(out, dynamic(schema._flags["default"]))
     if "failover" in schema._flags:
         fo = schema._flags["failover"]
         col_ok = F.lit(True)
         for c in plan.checks:
             if c.path == name and c.severity == "error":
                 col_ok = col_ok & c.predicate
-        out = F.when(col_ok, out).otherwise(F.lit(fo))
+        out = F.when(col_ok, out).otherwise(dynamic(fo))
     cast_to = schema._flags.get("cast")
     if cast_to:
         # reference cast targets: string/number/map/set

@@ -97,6 +97,28 @@ def language_id(df: DataFrame, text_col: str = "text",
                      best.alias("lang_score"))
 
 
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (north-rule text-analysis family):
+    whitespace tokens and a BPE-ish regex segmentation (letter runs /
+    digit runs / single punctuation — the classic pre-tokenizer
+    shape), plus chars-per-token.  Map-only projection — one
+    ``regexp_extract_all`` per row, no shuffle."""
+    col = F.col(text_col)
+    ws = F.size(tokens(col))
+    pieces = F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)
+    n_pieces = F.size(pieces)
+    return df.select(
+        F.col(id_col),
+        ws.cast("bigint").alias("ws_tokens"),
+        n_pieces.cast("bigint").alias("bpe_ish_tokens"),
+        F.round(F.length(col) / F.nullif(n_pieces, F.lit(0)), 6)
+         .alias("chars_per_token"))
+
+
 def fingerprint(col: Column, k: int = 8) -> Column:
     """Deterministic document fingerprint: md5 of the first ``k``
     lowercased tokens — the cheap prefix-dup detector (md5 chosen for

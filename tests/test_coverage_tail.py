@@ -256,3 +256,61 @@ def test_date_format_closed_set():
     assert joi.date().format("unix")._flags["format"] == "unix"
     with pytest.raises(ValueError, match="Unknown date format"):
         joi.date().format("yyyy-MM-dd")
+
+
+# --- joi.x() dynamic-value templates ---------------------------------------
+
+def test_template_default_formula(spark):
+    df = spark.createDataFrame([(1, 10.0, 2.0, None), (2, 1.0, 1.0, 9.0)],
+                               "id bigint, a double, b double, v double")
+    schema = joi.object({
+        "a": joi.number(), "b": joi.number(),
+        "v": joi.number().default(joi.x("{a + b * 2}")),
+    })
+    vals = {r["id"]: r["v"]
+            for r in joi.validate(df, schema, order_by=["id"])
+                        .value.collect()}
+    assert vals[1] == 14.0      # default fills from the formula
+    assert vals[2] == 9.0       # present value wins
+
+
+def test_template_mixed_text(spark):
+    df = spark.createDataFrame([(1, "alice", None)],
+                               "id bigint, name string, greet string")
+    schema = joi.object({
+        "name": joi.string(),
+        "greet": joi.string().default(joi.x("hello {name}!")),
+    })
+    row = joi.validate(df, schema, order_by=["id"]).value.first()
+    assert row["greet"] == "hello alice!"
+
+
+def test_template_context_variable(spark):
+    df = spark.createDataFrame([(1, None)], "id bigint, v double")
+    schema = joi.object({"v": joi.number().default(joi.x("{$base - 1}"))})
+    row = joi.validate(df, schema, order_by=["id"],
+                       context={"base": 5}).value.first()
+    assert row["v"] == 4.0
+    assert joi.is_expression(joi.x("{a}"))
+    assert not joi.is_expression("{a}")
+
+
+def test_template_failover(spark):
+    df = spark.createDataFrame([(1, 50.0, -1.0)],
+                               "id bigint, cap double, v double")
+    schema = joi.object({
+        "cap": joi.number(),
+        "v": joi.number().positive().failover(joi.x("{cap / 2}")),
+    })
+    row = joi.validate(df, schema, order_by=["id"]).value.first()
+    assert row["v"] == 25.0
+
+
+def test_token_stats(spark):
+    from joi_spark.operators import text as TX
+    df = spark.createDataFrame([(0, "don't stop, it's 42 now")],
+                               "doc_id bigint, text string")
+    r = TX.token_stats(df).first()
+    assert r["ws_tokens"] == 5
+    # don | ' | t | stop | , | it | ' | s | 42 | now
+    assert r["bpe_ish_tokens"] == 10
