@@ -488,6 +488,36 @@ def _lsh_topk_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 4) -> str:
     """
 
 
+def _lang_id_oracle() -> str:
+    """Generated from joi_spark.operators.text.STOPWORDS so the Spark
+    implementation and the DuckDB oracle share ONE word-list source."""
+    from joi_spark.operators.text import LANG_ORDER, STOPWORDS
+    score_cols = []
+    for lang in LANG_ORDER:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"round(len(list_filter(tok, x -> x IN ({words})))"
+            f" / len(tok), 6) AS s_{lang}")
+    whens = []
+    for lang in LANG_ORDER[:-1]:
+        conds = " AND ".join(f"s_{lang}>=s_{o}"
+                             for o in LANG_ORDER if o != lang)
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    best = ", ".join(f"s_{lang}" for lang in LANG_ORDER)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)),
+                                             '\\s+') AS tok
+                   FROM documents),
+        s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+        SELECT doc_id,
+               CASE {" ".join(whens)} ELSE '{LANG_ORDER[-1]}' END
+                   AS lang_pred,
+               greatest({best}) AS lang_score
+        FROM s
+    """
+
+
 def _simhash_oracle(max_hamming: int = 8) -> str:
     """DuckDB twin of dedup.simhash_near_pairs: identical md5-derived
     64-bit signatures, chunk-pigeonhole candidates, exact Hamming."""
@@ -893,26 +923,7 @@ def oracle_sql() -> dict[str, str]:
                        AS uniq_token_frac
             FROM t
         """,
-        "lang_id": r"""
-            WITH t AS (SELECT doc_id,
-                              string_split_regex(trim(lower(text)), '\s+') AS tok
-                       FROM documents),
-            s AS (SELECT doc_id,
-                round(len(list_filter(tok, x -> x IN ('the','a','of','and','to','in','is','it'))) / len(tok), 6) AS s_en,
-                round(len(list_filter(tok, x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) / len(tok), 6) AS s_de,
-                round(len(list_filter(tok, x -> x IN ('el','la','de','que','y','en','un','es'))) / len(tok), 6) AS s_es,
-                round(len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','une','est'))) / len(tok), 6) AS s_fr,
-                round(len(list_filter(tok, x -> x IN ('的','了','是','我','不','在','有','人'))) / len(tok), 6) AS s_zh
-                FROM t)
-            SELECT doc_id,
-                   CASE WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
-                        WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
-                        WHEN s_es>=s_en AND s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
-                        WHEN s_fr>=s_en AND s_fr>=s_de AND s_fr>=s_es AND s_fr>=s_zh THEN 'fr'
-                        ELSE 'zh' END AS lang_pred,
-                   greatest(s_en, s_de, s_es, s_fr, s_zh) AS lang_score
-            FROM s
-        """,
+        "lang_id": _lang_id_oracle(),
         "fingerprint_dups": r"""
             WITH fp AS (SELECT doc_id,
                                md5(array_to_string(list_slice(

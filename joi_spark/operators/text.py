@@ -20,14 +20,27 @@ from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
 
-# minimal function-word lists per language — the classic n-gram/stopword
-# heuristic; deterministic, JVM-evaluated
+# function-word lists per language — the classic n-gram/stopword
+# heuristic; deterministic, JVM-evaluated.  ~20 highest-frequency
+# function words per language (public frequency lists); the lang_id
+# ORACLE SQL is generated from this same dict
+# (__spark_entry__._lang_id_oracle) so the two can never drift.
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
-    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
-    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
-    "zh": ["的", "了", "是", "我", "不", "在", "有", "人"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you",
+           "that", "he", "was", "for", "on", "are", "as", "with",
+           "his", "they", "at"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit",
+           "den", "von", "nicht", "sie", "sich", "des", "auf",
+           "für", "im", "dem", "ich", "es"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se",
+           "no", "por", "con", "para", "una", "su", "al", "lo",
+           "como", "más", "pero"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est",
+           "en", "du", "que", "pour", "dans", "ce", "il", "qui",
+           "ne", "sur", "se", "pas"],
+    "zh": ["的", "了", "是", "我", "不", "在", "有", "人", "他",
+           "这", "中", "大", "来", "上", "国", "个", "到", "说",
+           "们", "为"],
 }
 LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
 
