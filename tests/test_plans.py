@@ -107,3 +107,46 @@ def test_wide_schema_violations_do_not_blow_up(spark):
     assert res.violations().count() == 2500   # id odd → c0 = 1 % 2 ... min(1) fails for id%2==0
     assert res.verdicts([(F.col("id") % 2).alias("p")]).count() == 2
     assert time.time() - t0 < 120
+
+
+def test_embedding_near_default_plan_has_no_cross_join(spark):
+    """The DEFAULT embedding-dedup path must be the bucketed equi-join
+    plan — a CartesianProduct / nested-loop join in the default plan is
+    the round-1 scale bug, pinned here."""
+    from joi_spark.operators import dedup as DD
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(DD.embedding_near_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # candidate generation is an equi-join on (table, bucket)
+    assert "table" in p and "bucket" in p
+    # the exact baseline IS allowed to cross join (verification only)
+    p_exact = _plan(DD.embedding_near_pairs(emb, threshold=0.9, exact=True))
+    assert "NestedLoopJoin" in p_exact or "CartesianProduct" in p_exact
+
+
+def test_lsh_topk_plan_broadcasts_queries(spark):
+    """ANN candidates: query buckets broadcast; the corpus is never
+    cross-joined."""
+    from joi_spark.operators import similarity as SIM
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(SIM.lsh_topk(emb, [0, 1], k=3, n_bits=4, n_tables=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_dataset_bundle_share_scan_caches_once(spark):
+    """share_scan: the four rule branches must all read ONE cached
+    materialization of the skinny projection (InMemoryTableScan per
+    branch, one InMemoryRelation) instead of four source scans."""
+    from joi_spark.sources.transcripts import (clean_transcripts,
+                                               tools_dimension)
+    from joi_spark.operators import dataset as DS
+    df = clean_transcripts(spark, n_convs=50, turns_per_conv=10)
+    out = DS.validate_dataset(df, tools_dim=tools_dimension(spark),
+                              share_scan=True)
+    p = _plan(out)
+    assert p.count("InMemoryTableScan") >= 4
+    # and the default (share_scan=False) plan has none
+    p2 = _plan(DS.validate_dataset(df, tools_dim=tools_dimension(spark)))
+    assert "InMemoryTableScan" not in p2
