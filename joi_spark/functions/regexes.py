@@ -61,8 +61,13 @@ ISO_DURATION = r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+S)
 # @hapi/address's full parser (lib/types/string/index.js:291-318) —
 # this regex covers the practical subset; exact-parity parser is a
 # documented divergence (see tests/test_messages.py).
+# dot-atom local part (no leading/trailing/consecutive dots, <=64),
+# registered-name domain (>=2 segments, alpha TLD), <=254 chars total —
+# the @hapi/address practical-RFC subset (quoted locals and domain
+# literals are rejected there too)
 EMAIL = (
-    r"^(?!\.)[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]{1,64}(?<!\.)@"
+    r"^(?=.{1,254}$)(?!\.)(?!.*\.\.)"
+    r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]{1,64}(?<!\.)@"
     r"(?:[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?\.)+"
     r"[a-zA-Z]{2,63}$"
 )

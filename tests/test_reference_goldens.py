@@ -814,3 +814,21 @@ def test_object_assert_message(spark):
     assert [(r["id"], r["code"], r["message"]) for r in rows] == [
         (2, "object.assert",
          '"value" is invalid because "b" failed to pass the assertion test')]
+
+
+def test_email_dot_atom_rules(spark):
+    # @hapi/address dot-atom local part: no leading / trailing /
+    # consecutive dots; 254-char total cap
+    long_addr = "a" * 60 + "@" + "b" * 60 + "." + "c" * 60 + "." + \
+        "d" * 60 + "." + "e" * 20 + ".com"       # > 254 chars
+    run_cases(spark, joi.string().email(), "string", [
+        ("dot.ok", "a.b@x.com", []),
+        ("dots.fail", "a..b@x.com", [("string.email",
+            '"v" must be a valid email')]),
+        ("lead.fail", ".a@x.com", [("string.email",
+            '"v" must be a valid email')]),
+        ("trail.fail", "a.@x.com", [("string.email",
+            '"v" must be a valid email')]),
+        ("long.fail", long_addr, [("string.email",
+            '"v" must be a valid email')]),
+    ])
