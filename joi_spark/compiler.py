@@ -1014,9 +1014,36 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
     # conditional whens (reference: lib/base.js:319-365) ----------------
     for w in schema._terms.get("whens") or []:
         ref_col = local.resolve(w["ref"])
-        is_pred = value_predicate(w["is"], local)(ref_col) if isinstance(w["is"], Schema) \
-            else (ref_col.eqNullSafe(F.lit(w["is"])) if not isinstance(w["is"], Ref)
-                  else ref_col.eqNullSafe(local.resolve(w["is"])))
+
+        def _is_pred(isv):
+            if isinstance(isv, Schema):
+                return value_predicate(isv, local)(ref_col)
+            if isinstance(isv, Ref):
+                return ref_col.eqNullSafe(local.resolve(isv))
+            return ref_col.eqNullSafe(F.lit(isv))
+
+        if w.get("switch"):
+            # case ladder, first-match-wins (reference:
+            # lib/base.js:344-355); a trailing otherwise (top-level or
+            # on the last case) catches unmatched rows
+            matched = F.lit(False)
+            final_otherwise = w.get("otherwise")
+            for case in w["switch"]:
+                p = _is_pred(case["is"])
+                branch = ~matched & F.coalesce(p, F.lit(False))
+                sub_cond = branch if cond is None else (cond & branch)
+                if case.get("then") is not None:
+                    compile_column(case["then"], name, dtype, ctx, plan,
+                                   cond=sub_cond)
+                if case.get("otherwise") is not None:
+                    final_otherwise = case["otherwise"]
+                matched = matched | F.coalesce(p, F.lit(False))
+            if final_otherwise is not None:
+                sub_cond = ~matched if cond is None else (cond & ~matched)
+                compile_column(final_otherwise, name, dtype, ctx, plan,
+                               cond=sub_cond)
+            continue
+        is_pred = _is_pred(w["is"])
         for branch, branch_cond in (("then", is_pred), ("otherwise", ~is_pred)):
             sub = w.get(branch)
             if sub is None:

@@ -414,11 +414,25 @@ class Schema:
         return self.prefs({"convert": not enabled})
 
     # -- conditionals (reference: lib/base.js:319-365) -----------------
-    def when(self, ref, *, is_=None, then=None, otherwise=None) -> "Schema":
+    def when(self, ref, *, is_=None, then=None, otherwise=None,
+             switch=None) -> "Schema":
+        """``switch`` is the reference's case-ladder form
+        (lib/base.js:344-355): a list of ``{"is": ..., "then": ...}``
+        dicts tried first-match-wins; an ``otherwise`` on the LAST
+        case (or the top level) catches the rest."""
+        if switch is not None:
+            if is_ is not None or then is not None:
+                raise ValueError(
+                    "switch cannot be combined with is/then")
+            switch = [dict(c) for c in switch]
+        if then is None and otherwise is None and switch is None:
+            raise ValueError(
+                "At least one of then, otherwise, or switch is required")
         n = self.clone()
         conds = list(n._terms.get("whens") or [])
         conds.append({"ref": ref if isinstance(ref, Ref) else Ref(ref),
-                      "is": is_, "then": then, "otherwise": otherwise})
+                      "is": is_, "then": then, "otherwise": otherwise,
+                      "switch": switch})
         n._terms["whens"] = conds
         return n
 

@@ -114,7 +114,13 @@ def build(desc: dict) -> Schema:
                 {"ref": _build_value(w["ref"]),
                  "is": _maybe_schema(w.get("is")),
                  "then": _maybe_schema(w["then"]) if w.get("then") else None,
-                 "otherwise": _maybe_schema(w["otherwise"]) if w.get("otherwise") else None}
+                 "otherwise": _maybe_schema(w["otherwise"]) if w.get("otherwise") else None,
+                 "switch": [
+                     {"is": _maybe_schema(c.get("is")),
+                      "then": _maybe_schema(c["then"]) if c.get("then") else None,
+                      **({"otherwise": _maybe_schema(c["otherwise"])}
+                         if c.get("otherwise") else {})}
+                     for c in w["switch"]] if w.get("switch") else None}
                 for w in v]
         else:
             s._terms[k] = _build_value(v)

@@ -314,3 +314,56 @@ def test_token_stats(spark):
     assert r["ws_tokens"] == 5
     # don | ' | t | stop | , | it | ' | s | 42 | now
     assert r["bpe_ish_tokens"] == 10
+
+
+# --- when(switch=[...]) case ladder ----------------------------------------
+
+def test_when_switch_ladder(spark):
+    """reference: lib/base.js:344-355 — first-match-wins case ladder
+    with a trailing otherwise."""
+    df = spark.createDataFrame(
+        [(1, "gold", 100.0), (2, "gold", 10.0),
+         (3, "silver", 10.0), (4, "silver", 4.0),
+         (5, "tin", 0.5), (6, "tin", -1.0)],
+        "id bigint, tier string, score double")
+    schema = joi.object({
+        "score": joi.number().when("tier", switch=[
+            {"is": "gold", "then": joi.number().min(50)},
+            {"is": "silver", "then": joi.number().min(5)},
+        ], otherwise=joi.number().min(0)),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"]) for r in res.violations().collect()]
+    assert got == [(2, "number.min"), (4, "number.min"), (6, "number.min")]
+    msgs = {r["id"]: r["message"] for r in res.violations().collect()}
+    assert msgs[2] == '"score" must be larger than or equal to 50'
+    assert msgs[4] == '"score" must be larger than or equal to 5'
+    assert msgs[6] == '"score" must be larger than or equal to 0'
+
+
+def test_when_switch_last_case_otherwise(spark):
+    df = spark.createDataFrame([(1, "b", 1.0)],
+                               "id bigint, k string, v double")
+    schema = joi.object({
+        "v": joi.number().when("k", switch=[
+            {"is": "a", "then": joi.number().max(0)},
+            {"is": "z", "then": joi.number().max(0),
+             "otherwise": joi.number().min(5)},
+        ]),
+    })
+    res = joi.validate(df, schema, order_by=["id"])
+    assert [r["code"] for r in res.violations().collect()] == ["number.min"]
+
+
+def test_when_switch_round_trip():
+    s = joi.number().when("t", switch=[
+        {"is": "a", "then": joi.number().min(1)},
+        {"is": "b", "then": joi.number().min(2)},
+    ], otherwise=joi.number().max(0))
+    assert joi.build(s.describe()).describe() == s.describe()
+
+
+def test_when_requires_a_branch():
+    with pytest.raises(ValueError, match="At least one of"):
+        joi.number().when("t")
