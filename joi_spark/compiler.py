@@ -759,6 +759,49 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                 continue
             compile_column(sub, f"{name}.{k}", fields[k], ctx, plan,
                            cond=child_cond)
+        # pattern keys + unknown policy over the REMAINING struct
+        # fields (reference: lib/types/object.js:340-370, 970-1077);
+        # a field counts as present when it is non-null (Joi skips
+        # undefined values)
+        import re as _re3
+        pats = schema._terms.get("patterns") or []
+        for f in dtype.fields:
+            if f.name in schema._terms["keys"]:
+                continue
+            pat = next((p for p in pats
+                        if _re3.search(p["regex"], f.name)), None)
+            if pat is not None:
+                compile_column(pat["rule"], f"{name}.{f.name}",
+                               f.dataType, ctx, plan, cond=child_cond)
+            elif schema._flags.get("unknown") is False:
+                label = f"{name}.{f.name}"
+                msg = E.render_static("object.unknown", {"label": label},
+                                      overrides=schema._messages)
+                present = F.coalesce(child_cond, F.lit(False)) & \
+                    F.col(label).isNotNull()
+                plan.checks.append(Check(ctx.next_seq(), label,
+                                         "object.unknown", ~present,
+                                         F.lit(msg)))
+        # per-row key-count rules: count of non-null fields
+        # (reference: lib/types/object.js:278-313 counts present keys)
+        for rule in schema._rules:
+            if rule.name not in ("length", "min", "max"):
+                continue
+            nk = _balanced_sum([F.col(f"{name}.{f.name}").isNotNull()
+                                .cast("int") for f in dtype.fields])
+            limit = rule.args["limit"]
+            pred = {"length": nk == limit, "min": nk >= limit,
+                    "max": nk <= limit}[rule.name]
+            label = _label(schema, name)
+            msg = E.render_static(f"object.{rule.name}",
+                                  {"label": label, "limit": limit},
+                                  overrides=schema._messages)
+            ok = F.when(~F.coalesce(child_cond, F.lit(False)),
+                        F.lit(True)).otherwise(
+                F.coalesce(pred, F.lit(False)))
+            plan.checks.append(Check(ctx.next_seq(), name,
+                                     f"object.{rule.name}", ok,
+                                     F.lit(msg)))
         return
 
     if schema.type == "link":
@@ -903,10 +946,12 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             pred = rule.args["builder"](conv, local)
             triples = [(pred, rule.args.get("code", "any.custom"), {})]
         elif kind == "object" and rule.name in ("length", "min", "max"):
-            # per-row key count over a map/struct column
-            # (reference: lib/types/object.js:278-313)
+            # per-row key count over a map/struct column — struct
+            # fields count when non-null (Joi skips undefined values;
+            # reference: lib/types/object.js:278-313)
             if isinstance(dtype, T.StructType):
-                nk = F.lit(len(dtype.fields))
+                nk = _balanced_sum([conv.getField(f.name).isNotNull()
+                                    .cast("int") for f in dtype.fields])
             else:
                 nk = F.size(F.map_keys(conv))
             limit = local.resolve(rule.args["limit"])
@@ -1053,6 +1098,15 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
 
     ctx.seq = local.seq
     _emit_output(schema, name, conv, plan, local, dtype)
+
+
+def _balanced_sum(cols: list[Column]) -> Column:
+    if not cols:
+        return F.lit(0)
+    while len(cols) > 1:
+        cols = [cols[i] + cols[i + 1] if i + 1 < len(cols) else cols[i]
+                for i in range(0, len(cols), 2)]
+    return cols[0]
 
 
 def _or_all(preds: list[Column]) -> Column:

@@ -133,3 +133,50 @@ def test_map_pattern_keys(spark):
     assert got == [(2, "object.pattern.match"), (3, "object.unknown")]
     msg = {r["id"]: r["message"] for r in res.violations().collect()}
     assert msg[2] == '"props" keys failed to match pattern requirements'
+
+
+def test_nested_struct_unknown_policy(spark):
+    """unknown(False) on a nested object flags non-null struct fields
+    not declared in keys() (reference: lib/types/object.js:970-1077;
+    null ≈ undefined, which Joi skips)."""
+    df = spark.createDataFrame(
+        [(1, ("a", "x")), (2, ("b", None)), (3, None)],
+        "id bigint, user struct<name:string, extra:string>")
+    schema = joi.object({
+        "user": joi.object({"name": joi.string()}).unknown(False),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["path"], r["code"], r["message"])
+           for r in res.violations().collect()]
+    assert got == [(1, "user.extra", "object.unknown",
+                    '"user.extra" is not allowed')]
+
+
+def test_nested_struct_pattern_keys(spark):
+    df = spark.createDataFrame(
+        [(1, ("5", "x")), (2, ("abc", "x"))],
+        "id bigint, m struct<m_a:string, other:string>")
+    schema = joi.object({
+        "m": joi.object({"other": joi.string()}).pattern("^m_", joi.number()),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["path"], r["code"])
+           for r in res.violations().collect()]
+    assert got == [(2, "m.m_a", "number.base")]
+
+
+def test_nested_struct_key_count(spark):
+    """Per-row min-keys over a struct counts non-null fields."""
+    df = spark.createDataFrame(
+        [(1, ("a", "b")), (2, ("a", None)), (3, None)],
+        "id bigint, s struct<x:string, y:string>")
+    schema = joi.object({
+        "s": joi.object({"x": joi.string(), "y": joi.string()}).min(2),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"], r["message"])
+           for r in res.violations().collect()]
+    assert got == [(2, "object.min", '"s" must have at least 2 keys')]
