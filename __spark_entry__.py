@@ -413,6 +413,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(docs)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite keep/drop quality gate with per-document reasons."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_filter(docs, langs=["en", "de"])
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """materialize the deduped corpus (keep-first) from the
+    prefix-fingerprint pair list — the pipeline's final dedup step."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.fingerprint_duplicates(docs)
+    return DD.dedup_corpus(docs, pairs).select("doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # oracle-SQL generators for the LSH-family queries: the hyperplanes and
 # bit hashes are deterministic (md5-derived), so the DuckDB oracle can
@@ -518,6 +532,51 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _quality_filter_oracle(min_chars: int = 20,
+                           max_punct_frac: float = 0.3,
+                           min_uniq: float = 0.3,
+                           langs: tuple = ("en", "de")) -> str:
+    """Generated from the same STOPWORDS/threshold constants as
+    joi_spark.operators.text.quality_filter.  ``(x) IS NOT TRUE``
+    mirrors the engine's null-is-a-failure coalesce semantics."""
+    from joi_spark.operators.text import LANG_ORDER, STOPWORDS
+
+    def score(lang):
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"len(list_filter(ltok, x -> x IN ({words})))"
+                f" / len(ltok)")
+
+    allowed = ", ".join(score(lg) for lg in langs)
+    anylang = ", ".join(score(lg) for lg in LANG_ORDER)
+    lang_tag = "lang:" + ",".join(langs)
+    return rf"""
+        WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\s+') AS tok,
+                          string_split_regex(trim(lower(text)),
+                                             '\s+') AS ltok
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     length(text) AS nc,
+                     (length(text) - length(regexp_replace(text,
+                          '[^a-zA-Z0-9 ]', '', 'g'))) / length(text) AS pf,
+                     len(list_distinct(tok)) / len(tok) AS uf,
+                     greatest({allowed}) AS s_allowed,
+                     greatest({anylang}) AS s_any
+              FROM t),
+        r AS (SELECT doc_id, list_filter([
+                 CASE WHEN (nc >= {min_chars}) IS NOT TRUE
+                      THEN 'too_short:<{min_chars}' END,
+                 CASE WHEN (pf <= {max_punct_frac}) IS NOT TRUE
+                      THEN 'punct:>{max_punct_frac}' END,
+                 CASE WHEN (uf >= {min_uniq}) IS NOT TRUE
+                      THEN 'repetitive:<{min_uniq}' END,
+                 CASE WHEN (s_allowed >= s_any) IS NOT TRUE
+                      THEN '{lang_tag}' END
+              ], x -> x IS NOT NULL) AS reasons FROM m)
+        SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM r
+    """
+
+
 def _simhash_oracle(max_hamming: int = 8) -> str:
     """DuckDB twin of dedup.simhash_near_pairs: identical md5-derived
     64-bit signatures, chunk-pigeonhole candidates, exact Hamming."""
@@ -612,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
         "token_stats": q_token_stats,
+        "quality_filter": q_quality_filter,
+        "dedup_corpus": q_dedup_corpus,
     }
 
 
@@ -1031,5 +1092,22 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 6)
                        AS chars_per_token
             FROM documents
+        """,
+        "quality_filter": _quality_filter_oracle(),
+        "dedup_corpus": r"""
+            WITH fp AS (SELECT doc_id,
+                               md5(array_to_string(list_slice(
+                                   string_split_regex(trim(lower(text)),
+                                                      '\s+'), 1, 8),
+                                   ' ')) AS fingerprint
+                        FROM documents),
+            k AS (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY fingerprint)
+                             AS keep
+                  FROM fp)
+            SELECT d.doc_id, d.text
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM k WHERE doc_id <> keep)
         """,
     }

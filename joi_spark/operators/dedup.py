@@ -64,6 +64,22 @@ def fingerprint_duplicates(df: DataFrame, text_col: str = "text",
                       "fingerprint"))
 
 
+def dedup_corpus(df: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Materialize the DEDUPED corpus from a pair list: drop every row
+    whose id appears as the RIGHT side of a (keep, drop) pair — the
+    final step after any pair-producing tier above.  For pair outputs
+    shaped (id, dup_of) the drop side is ``id``; for (id_a, id_b)
+    near-dup pairs keep-first means dropping ``id_b``.
+
+    Broadcast anti-join when the drop list is small (the common case —
+    dup fraction ≪ 1); plain anti-join otherwise (AQE converts at
+    runtime on size)."""
+    drop_col = id_col if id_col in pairs.columns else "id_b"
+    drops = pairs.select(F.col(drop_col).alias(id_col)).distinct()
+    return df.join(drops, [id_col], "left_anti")
+
+
 # --- shared shingling ------------------------------------------------------
 
 def shingles(col: Column, n: int = 3) -> Column:

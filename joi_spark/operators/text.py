@@ -132,6 +132,50 @@ def token_stats(df: DataFrame, text_col: str = "text",
          .alias("chars_per_token"))
 
 
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_chars: int = 20, max_punct_frac: float = 0.3,
+                   min_uniq_token_frac: float = 0.3,
+                   langs: list[str] | None = None) -> DataFrame:
+    """Composite training-data quality gate — the keep/drop step a
+    corpus pipeline runs after profiling: ``(id, keep, reasons)``
+    where ``reasons`` lists every failed criterion (empty when kept).
+
+    Thresholds follow the common published heuristics (length floor,
+    punctuation ceiling, repetition via unique-token ratio, optional
+    language allow-list).  One map-only projection — the metrics and
+    language scores compute inline; no join with the profiling
+    outputs needed."""
+    col = F.col(text_col)
+    toks = tokens(col)
+    n_chars = F.length(col)
+    n_tokens = F.size(toks)
+    alnum = F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    punct_frac = (n_chars - F.length(alnum)) / n_chars
+    uniq_frac = F.size(F.array_distinct(toks)) / n_tokens
+    checks = [
+        (n_chars >= min_chars, f"too_short:<{min_chars}"),
+        (punct_frac <= max_punct_frac, f"punct:>{max_punct_frac}"),
+        (uniq_frac >= min_uniq_token_frac,
+         f"repetitive:<{min_uniq_token_frac}"),
+    ]
+    if langs:
+        scores = [stopword_fraction(col, STOPWORDS[lang])
+                  for lang in langs]
+        best_allowed = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        all_scores = [stopword_fraction(col, STOPWORDS[lang])
+                      for lang in LANG_ORDER]
+        best_any = F.greatest(*all_scores)
+        checks.append((best_allowed >= best_any,
+                       "lang:" + ",".join(langs)))
+    reasons = F.filter(
+        F.array(*[F.when(~F.coalesce(ok, F.lit(False)), F.lit(tag))
+                  for ok, tag in checks]),
+        lambda x: x.isNotNull())
+    return df.select(F.col(id_col), (F.size(reasons) == 0).alias("keep"),
+                     reasons.alias("reasons"))
+
+
 def fingerprint(col: Column, k: int = 8) -> Column:
     """Deterministic document fingerprint: md5 of the first ``k``
     lowercased tokens — the cheap prefix-dup detector (md5 chosen for

@@ -230,3 +230,41 @@ def test_frame_sample_plan(spark):
     n = len([r for r in rows if r["media_id"] == vid["media_id"]])
     assert n == vid["meta"]["duration_ms"] // 1000 or n == max(
         1, vid["meta"]["duration_ms"] // 1000)
+
+
+def test_quality_filter(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog today ok"),
+        (1, "hi"),                                            # too short
+        (2, "a a a a a a a a a a a a a a a a a a a a a a"),   # repetitive
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),       # punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in TX.quality_filter(df).collect()}
+    assert out[0]["keep"] and out[0]["reasons"] == []
+    assert not out[1]["keep"] and "too_short:<20" in out[1]["reasons"]
+    assert not out[2]["keep"] and any(
+        t.startswith("repetitive") for t in out[2]["reasons"])
+    assert not out[3]["keep"] and any(
+        t.startswith("punct") for t in out[3]["reasons"])
+
+
+def test_quality_filter_lang_gate(spark):
+    rows = [(0, "the cat is on the mat and it is the one"),
+            (1, "el gato es uno de los que se ve en la casa")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           TX.quality_filter(df, langs=["en"]).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["keep"] and "lang:en" in out[1]["reasons"]
+
+
+def test_dedup_corpus(docs):
+    pairs = DD.exact_duplicates(docs, ["text"])
+    kept = sorted(r["doc_id"]
+                  for r in DD.dedup_corpus(docs, pairs).collect())
+    assert kept == [0, 2, 3, 4, 5]          # doc 1 (dup of 0) dropped
+    near = DD.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept2 = sorted(r["doc_id"]
+                   for r in DD.dedup_corpus(docs, near).collect())
+    assert 0 in kept2 and 1 not in kept2 and 2 not in kept2
