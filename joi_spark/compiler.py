@@ -695,6 +695,15 @@ def _coerce(schema: Schema, col: Column, dtype: T.DataType, ctx: _Ctx,
         if isinstance(dtype, T.BinaryType):
             return col, checks
         if _is_string_like(dtype) and convert:
+            # encoding flag selects the string→bytes decode
+            # (reference: lib/types/binary.js:18-24 Buffer.from(value,
+            # encoding)); default utf8 = plain cast
+            enc = schema._flags.get("encoding")
+            if enc in ("base64", "hex"):
+                conv = F.try_to_binary(col, F.lit(enc))
+                checks.append((conv.isNotNull() | col.isNull(),
+                               "binary.base", {}))
+                return conv, checks
             return col.cast("binary"), checks
         checks.append((F.lit(isinstance(dtype, T.BinaryType)), "binary.base", {}))
         return col, checks
@@ -822,6 +831,8 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                  shared=ctx.shared)
     local.seq = ctx.seq
 
+    error_flag = schema._flags.get("error")
+
     def emit(pred: Column, code: str, mctx: dict, *, guard: Column | None = None,
              severity: str = "error", message_override: str | None = None,
              value_col: Column | None = None,
@@ -830,7 +841,11 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
         ov = dict(overrides)
         if message_override:
             ov[code] = message_override
-        if dynamic_message is not None:
+        if error_flag is not None:
+            # error() replaces EVERY error of this schema
+            # (reference: lib/base.js:136-142)
+            msg = F.lit(E._interpolate(str(error_flag), mctx))
+        elif dynamic_message is not None:
             msg = F.coalesce(dynamic_message.cast("string"),
                              F.lit(E.render_static(code, mctx, overrides=ov)))
         else:

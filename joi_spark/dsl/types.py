@@ -353,6 +353,13 @@ class BinarySchema(Schema):
 
     type = "binary"
 
+    def encoding(self, encoding: str):
+        # reference: lib/types/binary.js:41-47 (Buffer encodings; the
+        # table-relevant subset)
+        if encoding not in ("utf8", "base64", "hex"):
+            raise ValueError(f"Invalid encoding: {encoding}")
+        return self._set_flag("encoding", encoding)
+
     def min(self, limit):
         # reference: lib/types/binary.js:58-63
         return self._add_rule("min", {"limit": _limit_arg(limit)})

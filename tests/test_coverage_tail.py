@@ -367,3 +367,41 @@ def test_when_switch_round_trip():
 def test_when_requires_a_branch():
     with pytest.raises(ValueError, match="At least one of"):
         joi.number().when("t")
+
+
+# --- error() flag / binary encoding ----------------------------------------
+
+def test_error_flag_replaces_all_messages(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, None)],
+                               "id bigint, v string")
+    schema = joi.object({
+        "v": joi.string().min(5).required().error("bad {{#label}} given"),
+    })
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"], r["message"])
+           for r in res.violations().collect()]
+    assert got == [(1, "string.min", "bad v given"),
+                   (2, "any.required", "bad v given")]
+
+
+def test_binary_encoding_base64(spark):
+    df = spark.createDataFrame([(1, "aGVsbG8="), (2, "!!notb64!!")],
+                               "id bigint, v string")
+    schema = joi.object({"v": joi.binary().encoding("base64").min(4)})
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = [(r["id"], r["code"]) for r in res.violations().collect()]
+    assert got == [(2, "binary.base")]
+    vals = {r["id"]: bytes(r["v"]) if r["v"] is not None else None
+            for r in res.value.collect()}
+    assert vals[1] == b"hello"
+
+
+def test_binary_encoding_hex(spark):
+    df = spark.createDataFrame([(1, "68656c6c6f")], "id bigint, v string")
+    schema = joi.object({"v": joi.binary().encoding("hex")})
+    row = joi.validate(df, schema, order_by=["id"]).value.first()
+    assert bytes(row["v"]) == b"hello"
+    with pytest.raises(ValueError, match="Invalid encoding"):
+        joi.binary().encoding("utf16")
