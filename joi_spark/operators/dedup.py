@@ -282,15 +282,24 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
     """
     bits_per = 64 // n_chunks
     par = df.sparkSession.sparkContext.defaultParallelism
-    idx = df.repartition(par, id_col) \
-            .select(F.col(id_col).alias("_id"),
-                    F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
     md5 = F.md5(F.col("_t"))
-    h_lo = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")    # bits 0-31
-    h_hi = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")    # bits 32-63
+    # materialize the two hash halves as CONCRETE projection columns:
+    # aggregate functions evaluate their child expressions per
+    # function, so 64 sums referencing the md5 subtree directly would
+    # hash every token 64 times; against plain columns the hash runs
+    # once per token
+    idx = (df.repartition(par, id_col)
+             .select(F.col(id_col).alias("_id"),
+                     F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("_t"))
+             .select("_id",
+                     F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+                      .alias("_hlo"),               # bits 0-31
+                     F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+                      .alias("_hhi")))              # bits 32-63
 
     def bit(b: int):
-        h = h_lo if b < 32 else h_hi
+        h = F.col("_hlo") if b < 32 else F.col("_hhi")
         return F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
 
     sums = [F.sum(F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1)))
