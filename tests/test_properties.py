@@ -118,3 +118,65 @@ def test_abort_early_reports_exactly_one_error_per_failing_row(
     assert all(n == 1 for n in per_row.values())
     n_failed = res.checked.filter("NOT _ok").count()
     assert len(per_row) == n_failed
+
+
+# --- round-2 surface properties ---------------------------------------------
+
+@given(st.lists(st.text(alphabet="abc xyz", min_size=1, max_size=24),
+                min_size=1, max_size=15))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_matches_python_oracle(prop_spark, texts):
+    """Exact 64-bit signature parity against an independent
+    pure-Python implementation on ARBITRARY text."""
+    import hashlib
+    import re
+    from joi_spark.operators import dedup as DD
+
+    def py_sig(text):
+        sums = [0] * 64
+        # regex-split like Spark's F.split(trim(x), '\\s+'): a
+        # whitespace-only doc yields ONE empty token, not zero
+        for t in re.split(r"\s+", text.lower().strip()):
+            h = hashlib.md5(t.encode()).hexdigest()
+            lo, hi = int(h[0:8], 16), int(h[8:16], 16)
+            for b in range(64):
+                bit = ((lo if b < 32 else hi) >> (b % 32)) & 1
+                sums[b] += 1 if bit else -1
+        return [sum(1 << i for i in range(16) if sums[c * 16 + i] > 0)
+                for c in range(4)]
+
+    df = prop_spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    got = {r["doc_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+           for r in DD.simhash_chunks(df).collect()}
+    assert got == {i: py_sig(t) for i, t in enumerate(texts)}
+
+
+@given(st.lists(st.text(alphabet="abcd .!?", min_size=1, max_size=60),
+                min_size=1, max_size=15))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_filter_keep_iff_no_reasons(prop_spark, texts):
+    from joi_spark.operators import text as TX
+    df = prop_spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    for r in TX.quality_filter(df).collect():
+        assert r["keep"] == (r["reasons"] == [])
+        assert all(any(t.startswith(p) for p in
+                       ("too_short", "punct", "repetitive", "lang"))
+                   for t in r["reasons"])
+
+
+@given(st.integers(-50, 50), st.integers(-50, 50), st.integers(1, 9))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_template_formula_matches_python(prop_spark, a, b, m):
+    df = prop_spark.createDataFrame([(1, float(a), float(b), None)],
+                                    "id bigint, a double, b double, v double")
+    schema = joi.object({
+        "a": joi.number(), "b": joi.number(),
+        "v": joi.number().default(joi.x(f"{{a * {m} - b}}")),
+    })
+    row = joi.validate(df, schema, order_by=["id"]).value.first()
+    assert row["v"] == float(a * m - b)
