@@ -414,9 +414,17 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """composite keep/drop quality gate with per-document reasons."""
+    """composite keep/drop quality gate with per-document reasons.
+
+    The operator returns ``reasons array<string>``; the driver's
+    canonicalizer pandas-sorts rows and list cells are unhashable, so
+    the query flattens to a '|'-joined sorted scalar (semantics
+    unchanged — the oracle does the same)."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.quality_filter(docs, langs=["en", "de"])
+    out = TX.quality_filter(docs, langs=["en", "de"])
+    return out.select(
+        "doc_id", "keep",
+        F.array_join(F.array_sort("reasons"), "|").alias("reasons"))
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +581,10 @@ def _quality_filter_oracle(min_chars: int = 20,
                  CASE WHEN (s_allowed >= s_any) IS NOT TRUE
                       THEN '{lang_tag}' END
               ], x -> x IS NOT NULL) AS reasons FROM m)
-        SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM r
+        SELECT doc_id, len(reasons) = 0 AS keep,
+               coalesce(array_to_string(list_sort(reasons), '|'), '')
+                   AS reasons
+        FROM r
     """
 
 

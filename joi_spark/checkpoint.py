@@ -69,13 +69,16 @@ class CheckpointedRun:
         """Validate all pending partitions; write violations, THEN the
         manifest.  Returns a summary dict (partitions completed this run).
 
-        Crash-safety: violation rows are written with the constraint
-        hash and via DYNAMIC partition overwrite — a crash between the
-        violations write and the manifest write leaves the partition
-        un-manifested, so resume re-validates it and the overwrite
-        REPLACES (not appends) the partial rows; no duplicates.  A
-        schema change flows through the hash: :meth:`violations`
-        filters on it, so old-hash rows never mix into reads."""
+        Crash-safety: violation rows are written via DYNAMIC partition
+        overwrite — a crash between the violations write and the
+        manifest write leaves the partition un-manifested, so resume
+        re-validates it and the overwrite REPLACES (not appends) the
+        partial rows; no duplicates.  The constraint hash is part of
+        the PHYSICAL layout (``partitionBy(constraint_hash,
+        partition_col)``), so a run under a new hash only ever rewrites
+        its own hash's directories — prior-hash violation rows (and
+        their lineage) survive schema changes, and concurrent runs
+        under different hashes never clobber each other."""
         pending = self.pending(df)
         if pending.isEmpty():
             return {"completed_now": 0, "resumed": True}
@@ -87,7 +90,8 @@ class CheckpointedRun:
                               "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            viol.write.mode("overwrite").partitionBy(self.partition_col) \
+            viol.write.mode("overwrite") \
+                .partitionBy("constraint_hash", self.partition_col) \
                 .parquet(self.violations_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1242,6 +1242,28 @@ def compile_table(schema: Schema, df: DataFrame, *,
                 {"label": _label(schema, "") or "value", "from": c,
                  "to": to}, overrides=schema._messages) or "")
             return
+        if to in renamed_targets:
+            # multiple=True, second source to the same target: the
+            # reference's semantics are LAST WINS (object.js:955-958 —
+            # value[to] overwritten, earlier source deleted).  Undo the
+            # earlier rename/alias so the engine never produces two
+            # columns named `to` (sequential withColumnRenamed would,
+            # and any later F.col(to) raises AMBIGUOUS_REFERENCE).
+            for i, (src, tgt) in enumerate(plan.renames):
+                if tgt == to:
+                    del plan.renames[i]
+                    plan.pre_drops.append(src)   # src exists in the raw df
+                    dtypes.pop(to, None)     # src stays dropped (deleted)
+                    if to in columns:
+                        columns.remove(to)
+                    break
+            else:
+                for i, (src, tgt) in enumerate(plan.aliases):
+                    if tgt == to:
+                        del plan.aliases[i]      # alias keeps src anyway
+                        if to in columns:
+                            columns.remove(to)
+                        break
         renamed_targets.add(to)
         if opts.get("alias"):
             plan.aliases.append((c, to))

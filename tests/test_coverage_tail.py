@@ -206,6 +206,39 @@ def test_rename_alias_keeps_source(spark):
     assert row["src"] == "hi" and row["dst"] == "HI"
 
 
+def test_rename_multiple_last_wins(spark):
+    """Two sources → one target with multiple=True: reference semantics
+    are last-wins (lib/types/object.js:955-958 — value[to] overwritten,
+    earlier source deleted).  Must not leave two columns named dst
+    (AMBIGUOUS_REFERENCE) — ADVICE round 2, medium."""
+    df = spark.createDataFrame([(1, "first", "second")],
+                               "id bigint, a string, b string")
+    schema = joi.object({"dst": joi.string()}) \
+        .rename("a", "dst", multiple=True) \
+        .rename("b", "dst", multiple=True)
+    res = joi.validate(df, schema, order_by=["id"])
+    assert res.table_errors == []
+    row = res.value.first()
+    assert row["dst"] == "second"
+    assert "a" not in res.value.columns and "b" not in res.value.columns
+
+
+def test_rename_multiple_last_wins_over_alias(spark):
+    """Earlier alias rename to the same target is superseded; the alias
+    source survives (alias keeps src) but the target takes the later
+    source's value."""
+    df = spark.createDataFrame([(1, "first", "second")],
+                               "id bigint, a string, b string")
+    schema = joi.object({"dst": joi.string()}) \
+        .rename("a", "dst", alias=True, multiple=True) \
+        .rename("b", "dst", multiple=True)
+    res = joi.validate(df, schema, order_by=["id"])
+    assert res.table_errors == []
+    row = res.value.first()
+    assert row["dst"] == "second" and row["a"] == "first"
+    assert "b" not in res.value.columns
+
+
 # --- ref adjust/map --------------------------------------------------------
 
 def test_ref_map(spark):

@@ -137,6 +137,25 @@ def test_checkpoint_violations_lineage(spark, ckpt_dir):
     assert run2.violations(spark).count() == n2
 
 
+def test_checkpoint_new_hash_preserves_old_violations(spark, ckpt_dir):
+    """A run under a NEW constraint hash must not physically delete the
+    prior hash's violation rows (ADVICE round 2, high): the hash is part
+    of the partitionBy layout, so dynamic overwrite only touches its own
+    hash's directories."""
+    df = clean_transcripts(spark, n_convs=10, turns_per_conv=10, n_epochs=2)
+    strict = joi.object({"role": joi.string().valid("system").required()})
+    run1 = CheckpointedRun(ckpt_dir, strict, "epoch")
+    run1.run(df)
+    n1 = run1.violations(spark).count()
+    assert n1 > 0
+    stricter = joi.object({"role": joi.string().valid("nobody").required()})
+    run2 = CheckpointedRun(ckpt_dir, stricter, "epoch")
+    run2.run(df)                 # rewrites every epoch under hash B
+    # hash A's lineage is intact — violations() still returns its rows
+    assert run1.violations(spark).count() == n1
+    assert run2.violations(spark).count() == df.count()
+
+
 def test_salted_sizes_requires_a_bound(skewed):
     with pytest.raises(ValueError, match="min_turns or max_turns"):
         SK.salted_conversation_sizes(skewed)

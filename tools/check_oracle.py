@@ -46,6 +46,16 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sorted(sdf.columns)
+        # the driver's canonicalizer pandas-sorts rows; list/map cells
+        # are unhashable there — flag them here so the local gate
+        # matches the driver's (round-2 quality_filter lesson)
+        bad = [f.name for f in sdf.schema.fields
+               if f.dataType.typeName() in ("array", "map", "struct")]
+        if bad and name in oracles:
+            failures += 1
+            print(f"{name}: FAIL non-scalar oracle columns {bad} "
+                  f"(driver canonicalizer would crash)")
+            continue
         sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows, no oracle)")
