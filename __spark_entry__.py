@@ -427,6 +427,197 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort("reasons"), "|").alias("reasons"))
 
 
+# ---------------------------------------------------------------------------
+# consolidated operator-family queries (string formats / generic flags /
+# object tail) — every predicate here is regex/arithmetic, so the DuckDB
+# oracle can re-run it; where DuckDB's RE2 dialect cannot express the
+# rule's Java regex (lookaheads/backrefs: guid, isoDate, isoDuration,
+# uri, dataUri), the oracle instead keys on the deterministic corruption
+# class used to synthesize the input (golden-cases-at-scale), and the
+# Luhn check is recomputed independently in SQL.
+# ---------------------------------------------------------------------------
+
+def _fmt_synth(spark_dialect: bool) -> dict[str, str]:
+    """Mixed-format string columns synthesized from o_orderkey — the
+    SAME expressions in both SQL dialects so the inputs are
+    byte-identical across engines."""
+    t = "STRING" if spark_dialect else "VARCHAR"
+    s = f"CAST(o_orderkey AS {t})"
+    b64 = (f"base64(CAST({s} AS BINARY))" if spark_dialect
+           else f"to_base64(encode({s}))")
+    h = f"md5({s})"
+    return {
+        "hexs": (f"CASE WHEN o_orderkey % 5 = 0 "
+                 f"THEN substr({h}, 1, 12) || 'z' "
+                 f"ELSE substr({h}, 1, 12) END"),
+        "b64": f"CASE WHEN o_orderkey % 7 = 0 THEN '@@@@' ELSE {b64} END",
+        "host": (f"CASE WHEN o_orderkey % 6 = 0 THEN '-bad-.example.com' "
+                 f"ELSE 'node-' || {s} || '.example.com' END"),
+        "ipaddr": f"CAST((o_orderkey * 7) % 300 AS {t}) || '.10.0.1'",
+        "guid_c": (f"CASE WHEN o_orderkey % 9 = 0 THEN substr({h}, 1, 31) "
+                   f"ELSE substr({h},1,8) || '-' || substr({h},9,4) || '-' "
+                   f"|| substr({h},13,4) || '-' || substr({h},17,4) || '-' "
+                   f"|| substr({h},21,12) END"),
+        "card": f"lpad(CAST((o_orderkey * 7919) % 1000000000 AS {t}), 12, '0')",
+        "uri_c": (f"CASE WHEN o_orderkey % 10 = 0 THEN 'http://exa mple.com/' "
+                  f"ELSE 'https://example.com/p/' || {s} END"),
+        "duration": (f"CASE WHEN o_orderkey % 8 = 0 THEN 'P' "
+                     f"ELSE 'P' || CAST(o_orderkey % 30 AS {t}) || 'DT' "
+                     f"|| CAST(o_orderkey % 24 + 1 AS {t}) || 'H' END"),
+        "iso_d": (f"CASE WHEN o_orderkey % 11 = 0 THEN '2024-13-15T10:30:00Z' "
+                  f"ELSE '2024-' || lpad(CAST(o_orderkey % 12 + 1 AS {t}), 2, '0') "
+                  f"|| '-15T10:30:00Z' END"),
+        "datauri": (f"CASE WHEN o_orderkey % 12 = 0 THEN 'data:;base64,YWJj' "
+                    f"ELSE 'data:image/png;base64,' || {b64} END"),
+    }
+
+
+def q_string_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the string format-rule family in one pass — hex / base64 /
+    hostname / ip / guid / creditCard / uri / isoDuration / isoDate /
+    dataUri (reference: lib/types/string/index.js:211-366,320-508)."""
+    orders = _t(spark, sf_dir, "orders")
+    synth = orders.selectExpr(
+        "o_orderkey", *(f"{e} AS {c}" for c, e in _fmt_synth(True).items()))
+    schema = joi.object({
+        "hexs": joi.string().hex(),
+        "b64": joi.string().base64(),
+        "host": joi.string().hostname(),
+        "ipaddr": joi.string().ip(),
+        "guid_c": joi.string().guid(),
+        "card": joi.string().creditCard(),
+        "uri_c": joi.string().uri(),
+        "duration": joi.string().isoDuration(),
+        "iso_d": joi.string().isoDate(),
+        "datauri": joi.string().dataUri(),
+    })
+    res = joi.validate(synth, schema,
+                       prefs={"convert": False, "abort_early": False},
+                       order_by=["o_orderkey"])
+    return res.violations().select("o_orderkey", *_VCOLS)
+
+
+def _string_formats_oracle() -> str:
+    from joi_spark.functions import regexes as RX
+    synth = ",\n                   ".join(
+        f"{e} AS {c}" for c, e in _fmt_synth(False).items())
+    # RE2-expressible rules re-run their REAL regex (single source:
+    # joi_spark.functions.regexes); SQL needs quotes doubled
+    def rx(pat: str) -> str:
+        return pat.replace("'", "''")
+    luhn = """
+        (list_sum(list_transform(range(length(card)), i ->
+            CASE WHEN i % 2 = 1 THEN
+                CASE WHEN 2 * CAST(substr(card, length(card) - i, 1) AS INT) > 9
+                     THEN 2 * CAST(substr(card, length(card) - i, 1) AS INT) - 9
+                     ELSE 2 * CAST(substr(card, length(card) - i, 1) AS INT) END
+            ELSE CAST(substr(card, length(card) - i, 1) AS INT) END)) % 10) = 0
+    """
+    rules = [
+        ("hexs", "string.hex",
+         '"hexs" must only contain hexadecimal characters',
+         f"NOT regexp_matches(hexs, '{rx(RX.HEX)}')"),
+        ("b64", "string.base64",
+         '"b64" must be a valid base64 string',
+         f"NOT regexp_matches(b64, '{rx(RX.BASE64[(True, False)])}')"),
+        ("host", "string.hostname",
+         '"host" must be a valid hostname',
+         f"NOT regexp_matches(host, '{rx(RX.HOSTNAME)}')"),
+        ("ipaddr", "string.ip",
+         '"ipaddr" must be a valid ip address with a optional CIDR',
+         f"NOT regexp_matches(ipaddr, '{rx(RX.ip_regex())}')"),
+        ("guid_c", "string.guid",
+         '"guid_c" must be a valid GUID',
+         "o_orderkey % 9 = 0"),
+        ("card", "string.creditCard",
+         '"card" must be a credit card',
+         f"NOT ({luhn})"),
+        ("uri_c", "string.uri",
+         '"uri_c" must be a valid uri',
+         "o_orderkey % 10 = 0"),
+        ("duration", "string.isoDuration",
+         '"duration" must be a valid ISO 8601 duration',
+         "o_orderkey % 8 = 0"),
+        ("iso_d", "string.isoDate",
+         '"iso_d" must be a valid ISO 8601 date',
+         "o_orderkey % 11 = 0"),
+        ("datauri", "string.dataUri",
+         '"datauri" must be a valid dataUri string',
+         "o_orderkey % 12 = 0"),
+    ]
+    unions = "\n            UNION ALL\n            ".join(
+        f"""SELECT o_orderkey, '{code}' AS code,
+                   '{msg.replace("'", "''")}' AS message,
+                   'error' AS severity
+            FROM t WHERE {cond}"""
+        for _, code, msg, cond in rules)
+    return f"""
+        WITH t AS (SELECT o_orderkey,
+                   {synth}
+                   FROM orders)
+        {unions}
+    """
+
+
+def q_generic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the generic output-shaping flags in one pass — empty() +
+    default(), default() on synthesized nulls, failover(), cast(),
+    strip() (reference: lib/base.js:130-180,259-276; the stripped
+    column's ABSENCE from the output is part of the check)."""
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("maybe", F.expr("nullif(event_type, 'error')"))
+    schema = joi.object({
+        "event_id": joi.number().cast("string"),
+        "event_type": joi.string().empty("view").default("NONE"),
+        "maybe": joi.string().default("filled"),
+        "user_id": joi.number().max(100).failover(-9),
+        "props": joi.string().strip(),
+    })
+    res = joi.validate(ev, schema)
+    assert "props" not in res.value.columns, "strip() must drop the column"
+    return res.value.select(
+        "event_id", "event_type", "maybe",
+        F.col("user_id").cast("double").alias("user_id"))
+
+
+_GENERIC_FLAGS_ORACLE = """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           CASE WHEN event_type = 'view' OR event_type IS NULL
+                THEN 'NONE' ELSE event_type END AS event_type,
+           coalesce(nullif(event_type, 'error'), 'filled') AS maybe,
+           CAST(CASE WHEN user_id > 100 THEN -9 ELSE user_id END
+                AS DOUBLE) AS user_id
+    FROM events
+"""
+
+
+def q_object_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object cast('map') + rename(alias=True) end-to-end — the JSON
+    props coerce to object, cast to map<string,string>, flattened to a
+    sorted scalar for the hash compare (reference:
+    lib/types/object.js:886-967 rename; cast map round-2 item)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "props": joi.object().cast("map"),
+        "kind": joi.string(),
+    }).rename("event_type", "kind", alias=True)
+    res = joi.validate(ev, schema)
+    flat = F.array_join(F.array_sort(F.transform(
+        F.map_entries(F.col("props")),
+        lambda e: F.concat(e["key"], F.lit(":"), e["value"]))), "|")
+    return res.value.select("event_id", "kind", "event_type",
+                            flat.alias("props_flat"))
+
+
+_OBJECT_TAIL_ORACLE = """
+    SELECT event_id, event_type AS kind, event_type,
+           array_to_string(list_sort(list_transform(json_keys(props),
+               k -> k || ':' || json_extract_string(props, '$.' || k))),
+               '|') AS props_flat
+    FROM events
+"""
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """materialize the deduped corpus (keep-first) from the
     prefix-fingerprint pair list — the pipeline's final dedup step."""
@@ -684,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_filter": q_quality_filter,
         "dedup_corpus": q_dedup_corpus,
+        "string_formats": q_string_formats,
+        "generic_flags": q_generic_flags,
+        "object_tail": q_object_tail,
     }
 
 
@@ -1105,6 +1299,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_filter": _quality_filter_oracle(),
+        "string_formats": _string_formats_oracle(),
+        "generic_flags": _GENERIC_FLAGS_ORACLE,
+        "object_tail": _OBJECT_TAIL_ORACLE,
         "dedup_corpus": r"""
             WITH fp AS (SELECT doc_id,
                                md5(array_to_string(list_slice(
