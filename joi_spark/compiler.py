@@ -152,11 +152,8 @@ def _domain_option_preds(dom: Column, opts: dict) -> list[Column]:
         preds.append(F.size(segs) >= int(min_seg))
     if tlds is None or tlds is False:
         return preds
-    if tlds is True or (isinstance(tlds, dict)
-                        and tlds.get("allow") is True):
-        raise CompileError(
-            "tlds=True needs the IANA TLD table (not bundled); pass an "
-            "explicit allow list: tlds={'allow': [...]}")
+    if tlds is True:
+        tlds = {"allow": True}
     if not isinstance(tlds, dict):
         raise CompileError("tlds must be a dict, True, or False")
     t = dict(tlds)
@@ -165,21 +162,18 @@ def _domain_option_preds(dom: Column, opts: dict) -> list[Column]:
     if t:
         raise CompileError(f"unsupported tlds options: {sorted(t)}")
     tld = F.lower(F.element_at(segs, -1))
-    if allow is not None and allow is not False:
+    if allow is True:
+        # bundled IANA snapshot (functions/tlds.py; reference defaults
+        # to its address lib's generated table the same way) — a 700-ish
+        # literal isin compiles to an InSet probe, stays in codegen
+        from .functions.tlds import TLDS
+        preds.append(tld.isin(*sorted(TLDS)))
+    elif allow is not None and allow is not False:
         preds.append(tld.isin(*[str(x).lower() for x in allow]))
     if deny:
         preds.append(~tld.isin(*[str(x).lower() for x in deny]))
     return preds
 
-
-def _email_pred(addr: Column, opts: dict) -> Column:
-    """One address: RFC-practical regex + domain options on the part
-    after the last '@'."""
-    pred = addr.rlike(RX.EMAIL)
-    dom = F.substring_index(addr, "@", -1)
-    for p in _domain_option_preds(dom, opts):
-        pred = pred & p
-    return pred
 
 def _string_rule(rule: Rule, col: Column, ctx: _Ctx, label: str,
                  overrides: dict) -> list[tuple[Column, str, dict]]:
@@ -242,19 +236,22 @@ def _string_rule(rule: Rule, col: Column, ctx: _Ctx, label: str,
         if a.get("byteAligned"):
             out.append((F.length(col) % 2 == 0, "string.hexAlign", {}))
     elif name == "email":
+        # exact address-grammar path (reference: lib/types/string/
+        # index.js:291-318): hybrid C-regex prefilter + per-row grammar
+        # on the residue, Arrow-batched (functions/udfs.py email_check)
         a = {**a, **(a.get("options") or {})}
-        dom_opts = {k: v for k, v in a.items()
-                    if k in ("minDomainSegments", "tlds", "allowUnicode")}
-        if a.get("multiple"):
-            # comma-separated address list (reference:
-            # lib/types/string/index.js:291-318 multiple+separator)
-            sep = a.get("separator", ",")
-            parts_arr = F.split(col, re.escape(sep))
-            pred = F.forall(parts_arr,
-                            lambda x: _email_pred(F.trim(x), dom_opts))
-            out.append((pred, "string.email", {}))
-        else:
-            out.append((_email_pred(col, dom_opts), "string.email", {}))
+        known = {"minDomainSegments", "tlds", "allowUnicode",
+                 "multiple", "separator", "options"}
+        if set(a) - known:
+            raise CompileError(
+                f"unsupported email options: {sorted(set(a) - known)}")
+        from .functions.udfs import email_check
+        try:
+            pred = email_check(col, {k: a[k] for k in known - {"options"}
+                                     if k in a})
+        except ValueError as e:
+            raise CompileError(str(e)) from e
+        out.append((pred, "string.email", {}))
     elif name == "domain":
         pred = col.rlike(RX.DOMAIN)
         for p in _domain_option_preds(col, a.get("options")):

@@ -49,11 +49,15 @@ def test_domain_unknown_option_raises(spark):
         joi.validate(df, schema).violations().collect()
 
 
-def test_domain_tlds_true_raises(spark):
-    df = spark.createDataFrame([(1, "a.com")], "id bigint, d string")
+def test_domain_tlds_true_bundled(spark):
+    """tlds=True validates against the bundled IANA snapshot (round-3:
+    was a raise before the snapshot was bundled; see
+    joi_spark/functions/tlds.py for provenance)."""
+    df = spark.createDataFrame([(1, "a.com"), (2, "a.notarealtld")],
+                               "id bigint, d string")
     schema = joi.object({"d": joi.string().domain(tlds=True)})
-    with pytest.raises(CompileError, match="IANA"):
-        joi.validate(df, schema).violations().collect()
+    res = joi.validate(df, schema, order_by=["id"])
+    assert [r["id"] for r in res.violations().collect()] == [2]
 
 
 def test_email_domain_options(spark):
