@@ -1082,10 +1082,15 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
         if w.get("switch"):
             # case ladder, first-match-wins (reference:
             # lib/base.js:344-355); a trailing otherwise (top-level or
-            # on the last case) catches unmatched rows
+            # on the LAST case only — the reference asserts this) catches
+            # unmatched rows.  Documented divergence: the reference's
+            # implicit last-case otherwise (concat of the base schema,
+            # lib/base.js:348-353) is not mirrored — unmatched rows keep
+            # only the base schema's own constraints.
             matched = F.lit(False)
             final_otherwise = w.get("otherwise")
-            for case in w["switch"]:
+            last = len(w["switch"]) - 1
+            for i, case in enumerate(w["switch"]):
                 p = _is_pred(case["is"])
                 branch = ~matched & F.coalesce(p, F.lit(False))
                 sub_cond = branch if cond is None else (cond & branch)
@@ -1093,6 +1098,10 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                     compile_column(case["then"], name, dtype, ctx, plan,
                                    cond=sub_cond)
                 if case.get("otherwise") is not None:
+                    if i != last:
+                        raise CompileError(
+                            'only the last switch case may define '
+                            '"otherwise" (reference: lib/base.js:347)')
                     final_otherwise = case["otherwise"]
                 matched = matched | F.coalesce(p, F.lit(False))
             if final_otherwise is not None:

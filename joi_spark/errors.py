@@ -276,26 +276,25 @@ def _eval_formula(expr: str, ctx: dict[str, Any]):
 
 
 def _interpolate(template: str, ctx: dict[str, Any]) -> str:
-    out = template
     # double-brace {{#x}} wraps arrays; single-brace {#x} does not
-    # (reference: lib/template.js:171-192 wrapped flag)
+    # (reference: lib/template.js:171-192 wrapped flag).  ONE combined
+    # pass over the pristine template — substituted values are never
+    # rescanned, so runtime strings (labels, valids, rename from/to)
+    # containing {...} cannot be evaluated as formulas (round-2 advice).
     import re as _re
-    def repl_double(m):
-        key = m.group(1)
-        return stringify(ctx.get(key, ""), wrap_arrays=True)
-    def repl_single(m):
-        key = m.group(1)
-        return stringify(ctx.get(key, ""), wrap_arrays=False)
-    def repl_formula(m):
+
+    def repl(m):
+        if m.group(1) is not None:
+            return stringify(ctx.get(m.group(1), ""), wrap_arrays=True)
+        if m.group(2) is not None:
+            return stringify(ctx.get(m.group(2), ""), wrap_arrays=False)
         try:
-            return stringify(_eval_formula(m.group(1), ctx),
+            return stringify(_eval_formula(m.group(3), ctx),
                              wrap_arrays=False)
         except Exception:
             return m.group(0)   # non-evaluable braces pass through
-    out = _re.sub(r"\{\{#([\w.]+)\}\}", repl_double, out)
-    out = _re.sub(r"\{#([\w.]+)\}", repl_single, out)
-    out = _re.sub(r"\{([^{}]+)\}", repl_formula, out)
-    return out
+    return _re.sub(
+        r"\{\{#([\w.]+)\}\}|\{#([\w.]+)\}|\{([^{}]+)\}", repl, template)
 
 
 def render_column(code: str, ctx: dict[str, Any], value_col: Column, *,

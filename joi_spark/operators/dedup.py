@@ -359,7 +359,9 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.9,
                          n_bits: int = 4, n_tables: int = 8,
-                         exact: bool = False) -> DataFrame:
+                         exact: bool = False,
+                         dim: int | None = None,
+                         persist_index: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold —
     ``(id_a, id_b, cosine)``.
 
@@ -378,8 +380,8 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     """
     from pyspark import StorageLevel
     from joi_spark.operators.similarity import (dot_pandas_udf, norm_expr,
-                                                rp_bucket_table)
-    dim = len(df.select(vec_col).first()[0])
+                                                rp_bucket_table, vector_dim)
+    dim = vector_dim(df, vec_col, dim)
     # Norms are computed ONCE per vector here (map-side), never per pair.
     a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
                   norm_expr(vec_col, dim).alias("_na"))
@@ -397,10 +399,13 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     else:
         # bucket table persisted: both join sides read the SAME
         # materialization (n·n_tables skinny rows) instead of
-        # recomputing every hyperplane projection twice
+        # recomputing every hyperplane projection twice;
+        # persist_index=False for callers that manage cache pressure
+        # themselves (repeated invocations accumulate cache entries)
         bt = rp_bucket_table(df, id_col, vec_col, n_bits=n_bits,
-                             n_tables=n_tables, dim=dim) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+                             n_tables=n_tables, dim=dim)
+        if persist_index:
+            bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
         ba = bt.withColumnRenamed(id_col, "_ida")
         bb = bt.withColumnRenamed(id_col, "_idb")
         pairs = (ba.join(bb, ["table", "bucket"])

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import weakref
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -88,9 +89,30 @@ def dot_pandas_udf():
     return _dot
 
 
+_dim_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def vector_dim(df: DataFrame, vec_col: str,
+               dim: int | None = None) -> int:
+    """Vector width for ``vec_col`` — a one-row driver probe, cached
+    per DataFrame object so the ANN entry points sharing a corpus pay
+    it at most once per pipeline (round-2 verdict: each entry point
+    re-probed).  Pass ``dim`` explicitly to skip the probe entirely."""
+    if dim is not None:
+        return int(dim)
+    per = _dim_cache.get(df)
+    if per is None:
+        per = {}
+        _dim_cache[df] = per
+    if vec_col not in per:
+        per[vec_col] = len(df.select(vec_col).first()[0])
+    return per[vec_col]
+
+
 def cosine_topk(df: DataFrame, query_ids: list, k: int = 5,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
     """Exact brute-force cosine top-``k`` for each query id —
     ``(query_id, neighbor_id, cosine, rank)``.
 
@@ -99,7 +121,7 @@ def cosine_topk(df: DataFrame, query_ids: list, k: int = 5,
     is the per-query top-k window over |queries|·|corpus| scored rows,
     partitioned by query id.  Ties break on neighbor id (deterministic).
     """
-    dim = len(df.select(vec_col).first()[0])
+    dim = vector_dim(df, vec_col, dim)
     # norms computed ONCE per vector map-side (n rows), never per pair
     q = df.filter(F.col(id_col).isin(query_ids)) \
           .select(F.col(id_col).alias("query_id"),
@@ -147,8 +169,7 @@ def rp_buckets(df: DataFrame, id_col: str = "vec_id",
     Hyperplanes are literal arrays broadcast in the plan (no join);
     the whole thing is a map-only projection.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    dim = vector_dim(df, vec_col, dim)
     planes = _hyperplanes(n_bits, dim, seed)
     bdf = df.select(F.col(id_col),
                     _buckets_pandas_udf([planes])(F.col(vec_col))
@@ -197,8 +218,7 @@ def rp_bucket_table(df: DataFrame, id_col: str = "vec_id",
     one posexplode (no union of n_tables scans); candidate generation
     then equi-joins on (table, bucket).  Shared by :func:`lsh_topk`
     and embedding near-dup blocking (joi_spark.operators.dedup)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    dim = vector_dim(df, vec_col, dim)
     planes = [_hyperplanes(n_bits, dim, seed=t) for t in range(n_tables)]
     bdf = df.select(F.col(id_col),
                     _buckets_pandas_udf(planes)(F.col(vec_col)).alias("_bk"))
@@ -209,7 +229,8 @@ def rp_bucket_table(df: DataFrame, id_col: str = "vec_id",
 
 def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 4, n_tables: int = 4) -> DataFrame:
+             n_bits: int = 4, n_tables: int = 4,
+             dim: int | None = None) -> DataFrame:
     """Approximate top-``k``: candidates share an LSH bucket in ≥1 of
     ``n_tables`` independent hyperplane tables, then exact cosine +
     per-query top-k over candidates only.
@@ -218,7 +239,7 @@ def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
     corpus shuffles once on a fine key instead of cross-joining;
     recall rises with ``n_tables`` (union of tables = OR-amplification).
     """
-    dim = len(df.select(vec_col).first()[0])
+    dim = vector_dim(df, vec_col, dim)
     buckets = rp_bucket_table(df, id_col, vec_col, n_bits=n_bits,
                               n_tables=n_tables, dim=dim)
     qb = buckets.filter(F.col(id_col).isin(query_ids)) \

@@ -393,6 +393,35 @@ def test_when_switch_last_case_otherwise(spark):
     assert [r["code"] for r in res.violations().collect()] == ["number.min"]
 
 
+def test_when_switch_nonlast_otherwise_raises(spark):
+    """Reference asserts only the LAST switch case may carry otherwise
+    (lib/base.js:347) — round-2 advice: was silently promoted."""
+    df = spark.createDataFrame([(1, "b", 1.0)],
+                               "id bigint, k string, v double")
+    schema = joi.object({
+        "v": joi.number().when("k", switch=[
+            {"is": "a", "then": joi.number().max(0),
+             "otherwise": joi.number().min(5)},
+            {"is": "z", "then": joi.number().max(0)},
+        ]),
+    })
+    with pytest.raises(CompileError, match="last switch case"):
+        joi.validate(df, schema)
+
+
+def test_template_injection_via_runtime_value(spark):
+    """A runtime value containing {...} must NOT be evaluated as a
+    formula when spliced into a message (round-2 advice: the formula
+    pass used to run over the already-substituted output)."""
+    df = spark.createDataFrame([(1, "no")], "id bigint, v string")
+    schema = joi.object({
+        "v": joi.string().valid("yes").label("count {1 + 1}"),
+    })
+    res = joi.validate(df, schema, order_by=["id"])
+    assert res.violations().first()["message"] == \
+        '"count {1 + 1}" must be one of [yes]'
+
+
 def test_when_switch_round_trip():
     s = joi.number().when("t", switch=[
         {"is": "a", "then": joi.number().min(1)},
@@ -404,6 +433,27 @@ def test_when_switch_round_trip():
 def test_when_requires_a_branch():
     with pytest.raises(ValueError, match="At least one of"):
         joi.number().when("t")
+
+
+def test_vector_dim_probe_cached(spark, monkeypatch):
+    """The ANN entry points share ONE .first() dim probe per DataFrame
+    (round-2 advice: each entry point re-probed the driver)."""
+    from joi_spark.operators import similarity as SIM
+    df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(4)],
+                               "vec_id bigint, embedding array<double>")
+    _DF = type(df)   # Spark 4: the classic subclass, not the ABC
+    calls = {"n": 0}
+    orig = _DF.first
+
+    def counting_first(self):
+        calls["n"] += 1
+        return orig(self)
+    monkeypatch.setattr(_DF, "first", counting_first)
+    assert SIM.vector_dim(df, "embedding") == 2
+    assert SIM.vector_dim(df, "embedding") == 2
+    assert calls["n"] == 1
+    assert SIM.vector_dim(df, "embedding", dim=64) == 64   # explicit skips
+    assert calls["n"] == 1
 
 
 # --- error() flag / binary encoding ----------------------------------------
