@@ -3,11 +3,14 @@
 ``mapInPandas`` stages.
 
 The Spark-side contract is real and tested — schema, partitioning,
-batch shape, UDF signatures.  The actual codec step is STUBBED: the
-decode libraries (PIL / soundfile / av) are not in this container, so
-``decode_*`` raises ``NotImplementedError`` unless the library imports,
-and ``fake_features`` provides the deterministic stand-in used by tests
-and benchmarks.
+batch shape, UDF signatures.  The codec step (round-3): P6 PPM images
+and PCM-16 WAV audio decode with the STDLIB (``decode_ppm`` /
+``decode_wav``), tested end-to-end on real bytes via
+:func:`synthetic_real_media` + ``extract_features(fake=False)``.
+Compressed formats (jpeg/png/flac) and video frames need libraries
+absent from this container (PIL / soundfile / av) and remain honestly
+gated: ``decode_image`` raises unless PIL imports, video feature
+extraction raises ``NotImplementedError``.
 
 Scale notes: payload rows are large (MBs) — keep
 ``spark.sql.files.maxPartitionBytes`` moderate so a task holds O(100)
@@ -99,34 +102,173 @@ def decode_image(payload: bytes):  # pragma: no cover - library stub
     return Image.open(io.BytesIO(payload))
 
 
+# --- real stdlib codecs (round-3: fake=False now has a tested
+# end-to-end route for image/audio; video decode would need an av
+# library and remains honestly gated) ----------------------------------
+
+def make_ppm_bytes(media_id: int, width: int, height: int) -> bytes:
+    """A real binary-PPM (P6) image with a deterministic per-id pixel
+    pattern — valid input for ANY ppm decoder, not just ours."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px.append((media_id * 7 + x * 13 + y * 29) % 256)
+            px.append((media_id * 11 + x * 5 + y * 3) % 256)
+            px.append((media_id * 17 + x * 23 + y * 19) % 256)
+    return header + bytes(px)
+
+
+def make_wav_bytes(media_id: int, sample_rate: int = 8000,
+                   n_samples: int = 160) -> bytes:
+    """A real RIFF/WAVE PCM-16 mono clip with a deterministic per-id
+    waveform (stdlib ``wave`` writer)."""
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack("<h", (((media_id * 31 + i * 17) % 4096) - 2048) * 8)
+            for i in range(n_samples))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, rgb_bytes).
+    Pure bytes parsing — no image library needed."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":          # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1                                       # single ws after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    rgb = payload[i : i + width * height * 3]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE PCM-16 payload: returns (sample_rate,
+    samples).  Stdlib ``wave`` — no audio library needed."""
+    import io
+    import struct
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload or b"")) as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only PCM-16 wav supported")
+            sr = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise ValueError(f"not a wav payload: {e}") from e
+    n = len(frames) // 2
+    return sr, list(struct.unpack(f"<{n}h", frames[: n * 2]))
+
+
+def _fold_feature(vals: list[float], dim: int) -> list[float]:
+    """Fold a variable-length normalized sequence into ``dim`` bucket
+    means (deterministic, order-preserving)."""
+    if not vals:
+        return [0.0] * dim
+    n = len(vals)
+    out = []
+    for i in range(dim):
+        lo = i * n // dim
+        hi = max((i + 1) * n // dim, lo + 1)
+        seg = vals[lo:hi]
+        out.append(round(sum(seg) / len(seg), 6))
+    return out
+
+
+def synthetic_real_media(spark: SparkSession, n: int = 100,
+                         partitions: int | None = None) -> DataFrame:
+    """Media table whose payloads are REAL codec bytes — P6 PPM images
+    and PCM-16 WAV clips — built worker-side in an Arrow-batched
+    mapInPandas stage (ids alternate image/audio; no driver literals).
+    The tested end-to-end input for ``extract_features(fake=False)``."""
+    base = spark.range(0, n, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 8 + mid % 5, 6 + mid % 4
+                    rows.append((mid, "image", make_ppm_bytes(mid, w, h),
+                                 (w, h, None, None)))
+                else:
+                    sr, ns = 8000, 160 + mid % 64
+                    rows.append((mid, "audio", make_wav_bytes(mid, sr, ns),
+                                 (None, None, sr, ns * 1000 // sr)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "payload", "meta"])
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 16, *,
                      fake: bool = True,
                      batch_hint: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over media payloads —
     ``mapInPandas`` with FEATURE_SCHEMA output.
 
-    ``fake=True`` (default in this container) computes the deterministic
-    digest feature; ``fake=False`` would run the real decoder per kind.
-    The plumbing — schema, batch iteration, column pruning (only
-    media_id/kind/payload are read) — is identical either way.
+    ``fake=True`` (the benchmark default) computes the deterministic
+    digest feature.  ``fake=False`` runs REAL stdlib decoders: P6 PPM
+    for images (pixel-mean buckets) and PCM-16 WAV for audio
+    (sample-mean buckets); video needs an av library absent from this
+    container and raises.  The plumbing — schema, batch iteration,
+    column pruning (only media_id/kind/payload are read) — is identical
+    either way.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real codecs are not available in this container; "
-            "run with fake=True")
     import hashlib
+
+    def feature_real(kind: str, payload: bytes) -> list[float]:
+        if kind == "image":
+            _, _, rgb = decode_ppm(payload)
+            return _fold_feature([b / 127.5 - 1.0 for b in rgb], dim)
+        if kind == "audio":
+            _, samples = decode_wav(payload)
+            return _fold_feature([s / 32768.0 for s in samples], dim)
+        raise NotImplementedError(
+            "video decode requires an av library (not in this container)")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            if fake:
+                feats = payloads.map(lambda p: _feature_from_bytes(p, dim))
+            else:
+                feats = [feature_real(k, p)
+                         for k, p in zip(pdf["kind"], payloads)]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(lambda p: len(p or b"")).astype("int32"),
                 "digest": payloads.map(
                     lambda p: hashlib.sha256(p or b"").hexdigest()),
-                "feature": payloads.map(
-                    lambda p: _feature_from_bytes(p, dim)),
+                "feature": feats,
             })
 
     src = df.select("media_id", "kind", "payload")

@@ -215,10 +215,43 @@ def test_extract_features(spark):
     assert all(-1.0 <= v <= 1.0 for v in by_id[3]["feature"])
 
 
-def test_real_decode_is_gated(spark):
-    df = MM.synthetic_media(spark, 2)
-    with pytest.raises(NotImplementedError):
-        MM.extract_features(df, fake=False)
+def test_real_decode_rejects_undecodable_payloads(spark):
+    # synthetic_media payloads are sha-hex bytes, not codec frames —
+    # the real decoders must refuse them, not produce garbage
+    df = MM.synthetic_media(spark, 2)   # ids 0,1 → image, audio kinds
+    with pytest.raises(Exception, match="not a (P6 PPM|wav) payload"):
+        MM.extract_features(df, fake=False).collect()
+
+
+def test_real_decode_video_still_gated(spark):
+    df = MM.synthetic_media(spark, 3).filter(F.col("kind") == "video")
+    with pytest.raises(Exception, match="video decode requires"):
+        MM.extract_features(df, fake=False).collect()
+
+
+def test_real_codec_end_to_end(spark):
+    """fake=False drives REAL stdlib codecs over real bytes (round-2
+    verdict item 7): PPM pixel features and WAV sample features match
+    an independent local decode of the same payloads."""
+    df = MM.synthetic_real_media(spark, 12)
+    feats = MM.extract_features(df, dim=6, fake=False).collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+
+    img = df.filter(F.col("media_id") == 2).first()
+    w, h, rgb = MM.decode_ppm(bytes(img["payload"]))
+    assert (w, h) == (img["meta"]["width"], img["meta"]["height"])
+    exp = MM._fold_feature([b / 127.5 - 1.0 for b in rgb], 6)
+    assert by_id[2]["feature"] == pytest.approx(exp, abs=1e-5)
+
+    aud = df.filter(F.col("media_id") == 3).first()
+    sr, samples = MM.decode_wav(bytes(aud["payload"]))
+    assert sr == aud["meta"]["sample_rate"] == 8000
+    assert len(samples) == 160 + 3 % 64
+    exp_a = MM._fold_feature([s / 32768.0 for s in samples], 6)
+    assert by_id[3]["feature"] == pytest.approx(exp_a, abs=1e-5)
+    assert by_id[3]["digest"] == \
+        hashlib.sha256(bytes(aud["payload"])).hexdigest()
 
 
 def test_frame_sample_plan(spark):
@@ -268,3 +301,37 @@ def test_dedup_corpus(docs):
     kept2 = sorted(r["doc_id"]
                    for r in DD.dedup_corpus(docs, near).collect())
     assert 0 in kept2 and 1 not in kept2 and 2 not in kept2
+
+
+def test_max_shingle_freq_prunes_hot_shingles(spark):
+    """100-TB safety valve in anger (round-2 verdict item 8): a corpus
+    where every document shares one stop-phrase makes EVERY pair a
+    candidate without pruning; max_shingle_freq collapses candidate
+    generation while recall on the true near-dup pair holds (Jaccard is
+    computed over FULL sets — pruning only gates candidates)."""
+    stop = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{stop} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(40)]
+    # one true near-dup pair with rare shared tail shingles
+    tail = " ".join(f"rare{j} word{j} token{j}" for j in range(12))
+    rows.append((100, f"{stop} {tail} ending one"))
+    rows.append((101, f"{stop} {tail} ending two"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def cand_count(max_freq):
+        idx = DD._shingle_index(docs, "doc_id", "text", 3, max_freq)
+        a = idx.select(F.col("_id").alias("a"), "_sh")
+        b = idx.select(F.col("_id").alias("b"), "_sh")
+        return (a.join(b, "_sh").filter("a < b")
+                 .select("a", "b").distinct().count())
+
+    unpruned = cand_count(None)
+    pruned = cand_count(5)
+    assert unpruned == 42 * 41 // 2          # every pair collides
+    assert pruned < unpruned / 50            # candidates collapse
+    got = DD.ngram_jaccard_pairs(docs, threshold=0.6,
+                                 max_shingle_freq=5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(100, 101)]
+    # recall parity: pruning found exactly what the unpruned run finds
+    full = DD.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    assert [(r["id_a"], r["id_b"]) for r in full] == [(100, 101)]
