@@ -477,7 +477,12 @@ def q_string_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hostname / ip / guid / creditCard / uri / isoDuration / isoDate /
     dataUri (reference: lib/types/string/index.js:211-366,320-508)."""
     orders = _t(spark, sf_dir, "orders")
-    synth = orders.selectExpr(
+    # the source is ONE small parquet file -> one scan task; the 10
+    # regex families are the per-row cost here, so fan out before the
+    # validate (at 100 TB the input arrives pre-split and this is a
+    # no-op concern)
+    par = spark.sparkContext.defaultParallelism
+    synth = orders.repartition(par, "o_orderkey").selectExpr(
         "o_orderkey", *(f"{e} AS {c}" for c, e in _fmt_synth(True).items()))
     schema = joi.object({
         "hexs": joi.string().hex(),
