@@ -384,6 +384,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, list(range(10)), k=5, n_bits=4, n_tables=4)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approximate top-5 via inverted-file (IVF) lists — the second ANN
+    scale path next to LSH (joi_spark.operators.similarity.ivf_topk).
+    The coarse quantizer is the deterministic spherical one, so the
+    oracle reproduces the exact list assignments (home lists AND probe
+    ranking), checking the inverted-list plan itself, not just recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, list(range(10)), k=5, n_lists=8, nprobe=3)
+
+
 def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs ≥ 0.45 via the DEFAULT
     RP-bucketed candidate path (4 bits × 8 tables); the oracle
@@ -706,6 +716,49 @@ def _lsh_topk_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 4) -> str:
     """
 
 
+def _ivf_topk_oracle(k: int = 5, n_lists: int = 8, nprobe: int = 3) -> str:
+    """Mirrors joi_spark.operators.similarity.ivf_topk bit-for-bit:
+    the deterministic spherical centroids are embedded as literals;
+    both engines rank centroid dot products with a strictly sequential
+    left-fold and break ties to the smaller list id, so home lists and
+    probe sets match exactly — the rescoring cosine then reuses the
+    shared sequential-fold contract."""
+    from joi_spark.operators.similarity import ivf_centroids
+    cents = ivf_centroids(n_lists, _EMB_DIM)
+    vals = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(v) for v in cents[c]) + "])"
+        for c in range(n_lists))
+    cs = _COSINE_SQL.format(a="qe", b="ce")
+    return f"""
+        WITH cents(cid, cv) AS (SELECT * FROM (VALUES {vals})),
+        d AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_sum(list_transform(range({_EMB_DIM}),
+                         i -> CAST(e.embedding[i+1] AS DOUBLE)
+                              * c.cv[i+1])) AS s
+              FROM embeddings e CROSS JOIN cents c),
+        a AS (SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, cid) AS rk
+              FROM d),
+        home AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
+        probe AS (SELECT vec_id, embedding, cid FROM a
+                  WHERE rk <= {nprobe} AND vec_id BETWEEN 0 AND 9),
+        cand AS (SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
+                        p.embedding AS qe, h.embedding AS ce
+                 FROM probe p JOIN home h
+                   ON p.cid = h.cid AND h.vec_id <> p.vec_id),
+        s2 AS (SELECT query_id, neighbor_id, {cs} AS cs FROM cand),
+        r2 AS (SELECT query_id, neighbor_id, cs,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cs DESC, neighbor_id)
+                          AS rk
+               FROM s2)
+        SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+               CAST(rk AS INT) AS rank
+        FROM r2 WHERE rk <= {k}
+    """
+
+
 def _lang_id_oracle() -> str:
     """Generated from joi_spark.operators.text.STOPWORDS so the Spark
     implementation and the DuckDB oracle share ONE word-list source."""
@@ -874,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near": q_embedding_near,
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
@@ -1269,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near": _embedding_near_oracle(threshold=0.45),
         "lsh_topk": _lsh_topk_oracle(k=5, n_bits=4, n_tables=4),
+        "ivf_topk": _ivf_topk_oracle(k=5, n_lists=8, nprobe=3),
         "simhash_pairs": _simhash_oracle(max_hamming=8),
         "multimodal_features": """
             SELECT id AS media_id,

@@ -197,12 +197,36 @@ def main() -> None:
         # within this box's PHYSICAL core budget (32 hyperthreads ≈ ~19
         # effective cores: 32 parallel spins run 1.7x slower than 8);
         # override with JOI_SCALE_LO/HI.
+        #
+        # This sandbox is a Firecracker microVM on a shared physical
+        # host: nothing else runs INSIDE the VM, but other tenants
+        # steal vCPU time outside it.  Each leg therefore records the
+        # hypervisor steal fraction from /proc/stat — when a run's
+        # efficiency dips, steal_pct_high shows whether the engine or
+        # the host was the bottleneck.
+
+        def _stat():
+            with open("/proc/stat") as fh:
+                f = [int(x) for x in fh.readline().split()[1:9]]
+            # (user+nice+system, steal): steal accrues only while a
+            # vCPU is runnable, so steal/(busy+steal) = "of the CPU we
+            # asked for, how much the host gave to other tenants"
+            return f[0] + f[1] + f[2], f[7]
+
+        def _leg(cores: str) -> dict:
+            b0, s0 = _stat()
+            r = bench_once(cores, sf_dir, with_queries=False,
+                           turns=SCALING_TURNS,
+                           with_dataset=False)["transcript"]
+            b1, s1 = _stat()
+            busy, steal = b1 - b0, s1 - s0
+            r["steal_pct"] = round(100.0 * steal / max(busy + steal, 1), 2)
+            return r
+
         lo = os.environ.get("JOI_SCALE_LO", "4")
         hi = os.environ.get("JOI_SCALE_HI", "16")
-        r_lo = bench_once(lo, sf_dir, with_queries=False,
-                          turns=SCALING_TURNS, with_dataset=False)["transcript"]
-        r_hi = bench_once(hi, sf_dir, with_queries=False,
-                          turns=SCALING_TURNS, with_dataset=False)["transcript"]
+        r_lo = _leg(lo)
+        r_hi = _leg(hi)
         eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (int(hi) / int(lo))
         print(json.dumps({
             "metric": "scaling_efficiency",
@@ -211,6 +235,8 @@ def main() -> None:
             "cores_low": int(lo), "cores_high": int(hi),
             "turns_per_sec_low": r_lo["turns_per_sec"],
             "turns_per_sec_high": r_hi["turns_per_sec"],
+            "steal_pct_low": r_lo["steal_pct"],
+            "steal_pct_high": r_hi["steal_pct"],
             "turns": r_lo["turns"],
         }))
         return

@@ -264,3 +264,175 @@ def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id",
                           F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH.
+#
+# Reference parity: the reference repo has no ANN operator; this family
+# exists for the 100 TB training-data pipeline mandate (SURVEY.md §2
+# tail: "similarity search ... an IVF or LSH-bucketed variant as the
+# scale path").  Structure mirrors FAISS IndexIVFFlat: a coarse
+# quantizer partitions the corpus into n_lists inverted lists; a query
+# probes its nprobe nearest lists and rescores exactly within them.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(n_lists: int, dim: int, seed: int = 0
+                  ) -> list[list[float]]:
+    """Deterministic spherical coarse-quantizer centroids: md5-derived
+    components in [-1, 1], L2-normalized to unit vectors — stable
+    across runs/machines with no RNG state, so an external oracle can
+    embed them as literals (same scheme as :func:`_hyperplanes`).
+    :func:`train_ivf_centroids` refines these with Lloyd iterations
+    when recall matters more than oracle reproducibility."""
+    out = []
+    for c in range(n_lists):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"joi_ivf:{seed}:{c}:{d}".encode()).hexdigest()
+            u = int(h[:13], 16) / float(1 << 52)
+            row.append(2.0 * u - 1.0)
+        n = math.sqrt(sum(v * v for v in row))
+        out.append([v / n for v in row])
+    return out
+
+
+def _ivf_probe_pandas_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched list assignment: top-``nprobe`` centroid ids by
+    dot product (descending, ties to the smaller id).  Vectorized
+    ACROSS rows; each dot is a strictly SEQUENTIAL left-fold across
+    dimensions so an external oracle's sequential ``list_sum``
+    reproduces every score — and therefore every ranking — exactly
+    (same contract as :func:`_buckets_pandas_udf`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _probe(vec: pd.Series) -> pd.Series:
+        import numpy as np
+        A = np.stack(vec.to_numpy()).astype("float64")
+        scores = np.empty((A.shape[0], len(centroids)), dtype="float64")
+        for c, cen in enumerate(centroids):
+            s = A[:, 0] * cen[0]
+            for i in range(1, len(cen)):
+                s = s + A[:, i] * cen[i]
+            scores[:, c] = s
+        # stable argsort on (-score, id): ties break to the smaller id
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
+    return _probe
+
+
+def ivf_assign(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", *,
+               centroids: list[list[float]] | None = None,
+               n_lists: int = 16, nprobe: int = 1,
+               dim: int | None = None, seed: int = 0) -> DataFrame:
+    """Inverted-list assignment — ``(id, probe, list_id)``; one row per
+    probed list, ``probe`` = 0-based probe rank.  ``nprobe=1`` is the
+    home-list assignment used to build the index; queries pass
+    ``nprobe>1``.  Map-only: centroids ride in the plan as literals
+    (no join, no shuffle)."""
+    dim = vector_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_lists, dim, seed)
+    probed = df.select(F.col(id_col),
+                       _ivf_probe_pandas_udf(cents, nprobe)(F.col(vec_col))
+                       .alias("_pl"))
+    return probed.select(id_col, F.posexplode("_pl")) \
+                 .withColumnRenamed("pos", "probe") \
+                 .withColumnRenamed("col", "list_id")
+
+
+def train_ivf_centroids(df: DataFrame, n_lists: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding", *,
+                        iters: int = 2, sample_mod: int = 1,
+                        dim: int | None = None,
+                        seed: int = 0) -> list[list[float]]:
+    """Lloyd-refined coarse quantizer (k-means on the corpus, seeded
+    from :func:`ivf_centroids` so initialization is deterministic).
+
+    Scale: training runs on a deterministic hash-sample
+    (``hash(id) % sample_mod == 0`` — standard IVF practice: FAISS
+    trains on ~256·n_lists points); each iteration is one
+    assign (map-only) + one per-(list, dim) partial-aggregated mean
+    (shuffle of n_lists × dim tiny rows), and the k×dim centroid
+    matrix collects to the driver because it IS plan metadata for the
+    next iteration.  Float aggregation order varies across partitions,
+    so trained centroids are NOT bit-reproducible by an external
+    sequential oracle — use the default :func:`ivf_centroids` for
+    oracle-checked paths and this for recall."""
+    dim = vector_dim(df, vec_col, dim)
+    sample = df if sample_mod <= 1 else \
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+    cents = ivf_centroids(n_lists, dim, seed)
+    for _ in range(iters):
+        assign = sample.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
+            .alias("list_id"))
+        means = (assign.select("list_id", F.posexplode("_v"))
+                 .groupBy("list_id", "pos")
+                 .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]   # empty lists keep their seed
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        for lid, vec in acc.items():
+            n = math.sqrt(sum(v * v for v in vec))
+            if n > 0:
+                new[lid] = [v / n for v in vec]
+        cents = new
+    return cents
+
+
+def ivf_topk(df: DataFrame, query_ids: list, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding", *,
+             centroids: list[list[float]] | None = None,
+             n_lists: int = 16, nprobe: int = 4,
+             dim: int | None = None, seed: int = 0) -> DataFrame:
+    """Approximate top-``k`` via inverted lists: the corpus lives in
+    its home list (one row each — the index is the SAME SIZE as the
+    corpus, vs LSH's n_tables× blowup); each query probes its
+    ``nprobe`` nearest lists; exact cosine + per-query top-k rescoring
+    runs over probed candidates only.
+
+    Candidate generation is an equi-join on ``list_id`` with the
+    (tiny) query side broadcast — the corpus shuffles once on the
+    list key.  ``nprobe = n_lists`` degrades gracefully to the exact
+    result (pinned by ``tests/test_training_ops.py``).  Recall/cost
+    is tuned by ``nprobe`` alone — no index rebuild, unlike
+    ``n_tables`` in :func:`lsh_topk`."""
+    dim = vector_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_lists, dim, seed)
+    home = ivf_assign(df, id_col, vec_col, centroids=cents, nprobe=1,
+                      dim=dim).select(F.col(id_col).alias("neighbor_id"),
+                                      "list_id")
+    probes = ivf_assign(df.filter(F.col(id_col).isin(query_ids)),
+                        id_col, vec_col, centroids=cents, nprobe=nprobe,
+                        dim=dim).select(F.col(id_col).alias("query_id"),
+                                        "list_id")
+    cands = (F.broadcast(probes).join(home, "list_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id"))
+    q = df.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("_qv"),
+                  norm_expr(vec_col, dim).alias("_qn"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("_cv"),
+                  norm_expr(vec_col, dim).alias("_cn"))
+    scored = (cands.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+              .withColumn("cosine",
+                          dot_expr("_qv", "_cv", dim)
+                          / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.round("cosine", 6).alias("cosine"), "rank"))

@@ -150,3 +150,16 @@ def test_dataset_bundle_share_scan_caches_once(spark):
     # and the default (share_scan=False) plan has none
     p2 = _plan(DS.validate_dataset(df, tools_dim=tools_dimension(spark)))
     assert "InMemoryTableScan" not in p2
+
+
+def test_ivf_topk_plan_is_inverted_list_equijoin(spark):
+    """IVF ANN: candidate generation must be an equi-join on list_id
+    with the (tiny) probe side broadcast — never a cross join of the
+    corpus; centroids ride in the plan as literals (no extra join)."""
+    from joi_spark.operators import similarity as SIM
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(SIM.ivf_topk(emb, [0, 1], k=3, n_lists=8, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "list_id" in p
+    assert "BroadcastHashJoin" in p

@@ -190,3 +190,36 @@ def test_stream_stateful_sequence(spark, stream_dirs):
     got = sorted((r["conv_id"], r["turn_idx"], r["code"])
                  for r in spark.sql("SELECT * FROM seqstate").collect())
     assert got == [("c1", 2, "dataset.sort"), ("c1", 5, "dataset.sparse")]
+
+
+def test_stream_stateful_sequence_state_crosses_batches(spark, stream_dirs):
+    """The point of applyInPandasWithState: a duplicate turn_idx whose
+    first occurrence arrived in an EARLIER micro-batch is still caught.
+    Two source files + maxFilesPerTrigger=1 force two micro-batches;
+    the dup (c1, 1) and the regression (c1, 0) arrive in batch 2."""
+    import os
+    src, ckpt = stream_dirs
+    from joi_spark.streaming.validate import stream_stateful_sequence
+
+    b1 = spark.createDataFrame([("c1", 0), ("c1", 1), ("c2", 0)],
+                               "conv_id string, turn_idx int")
+    b2 = spark.createDataFrame([("c1", 1), ("c1", 0), ("c1", 2), ("c2", 1)],
+                               "conv_id string, turn_idx int")
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = stream_stateful_sequence(stream)
+    q = (out.writeStream.format("memory").queryName("seqstate2")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["conv_id"], r["turn_idx"], r["code"])
+                 for r in spark.sql("SELECT * FROM seqstate2").collect())
+    # batch-2 rows validate against batch-1 state: both c1 retreads
+    # flagged, c1=2 and c2=1 are clean continuations
+    assert ("c1", 0, "dataset.sort") in got
+    assert ("c1", 1, "dataset.sort") in got
+    assert not any(c == "c2" for c, _, _ in got)

@@ -335,3 +335,87 @@ def test_max_shingle_freq_prunes_hot_shingles(spark):
     # recall parity: pruning found exactly what the unpruned run finds
     full = DD.ngram_jaccard_pairs(docs, threshold=0.6).collect()
     assert [(r["id_a"], r["id_b"]) for r in full] == [(100, 101)]
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+def test_ivf_assign_home_list_partition(vecs):
+    """Every corpus row gets exactly one home list; nprobe expands
+    queries to that many (probe, list) rows in probe-rank order."""
+    home = SIM.ivf_assign(vecs, n_lists=4, nprobe=1).collect()
+    assert len(home) == 5
+    assert all(r["probe"] == 0 for r in home)
+    assert all(0 <= r["list_id"] < 4 for r in home)
+    probed = SIM.ivf_assign(vecs, n_lists=4, nprobe=3).collect()
+    assert len(probed) == 15
+    per = {}
+    for r in probed:
+        per.setdefault(r["vec_id"], []).append((r["probe"], r["list_id"]))
+    for lst in per.values():
+        probes = [p for p, _ in sorted(lst)]
+        assert probes == [0, 1, 2]
+        assert len({l for _, l in lst}) == 3   # distinct lists
+
+
+def test_ivf_assign_deterministic(vecs):
+    a = {(r["vec_id"], r["list_id"])
+         for r in SIM.ivf_assign(vecs, n_lists=8).collect()}
+    b = {(r["vec_id"], r["list_id"])
+         for r in SIM.ivf_assign(vecs, n_lists=8).collect()}
+    assert a == b
+
+
+def test_ivf_topk_full_probe_matches_exact(spark):
+    """nprobe = n_lists degrades gracefully to the exact brute-force
+    result — every list is probed, so the candidate set is the whole
+    corpus and the rescoring is identical."""
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.persist(); df.count()
+    exact = [(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in SIM.cosine_topk(df, [0, 1, 2], k=3).collect()]
+    full = [(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in SIM.ivf_topk(df, [0, 1, 2], k=3, n_lists=8,
+                                  nprobe=8).collect()]
+    assert sorted(exact) == sorted(full)
+    # partial probe keeps decent recall on the same data
+    part = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(df, [0, 1, 2], k=3, n_lists=8,
+                                  nprobe=3).collect()}
+    assert len(set((q, n) for q, n, _ in exact) & part) >= len(exact) * 1 // 2
+    df.unpersist()
+
+
+def test_train_ivf_centroids_improves_or_holds_recall(spark):
+    """Lloyd-refined centroids are valid unit vectors and the trained
+    quantizer's recall at nprobe=2 is >= the random quantizer's on a
+    clustered corpus (k-means adapts lists to the clusters)."""
+    import random
+    rnd = random.Random(3)
+    centers = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(160):
+        c = centers[i % 4]
+        rows.append((i, [v + rnd.uniform(-0.05, 0.05) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.persist(); df.count()
+    trained = SIM.train_ivf_centroids(df, n_lists=4, iters=2)
+    assert len(trained) == 4
+    for c in trained:
+        assert abs(math.sqrt(sum(v * v for v in c)) - 1.0) < 1e-9
+    qs = [0, 1, 2, 3]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(df, qs, k=3).collect()}
+
+    def recall(cents):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in SIM.ivf_topk(df, qs, k=3, centroids=cents,
+                                     nprobe=2).collect()}
+        return len(exact & got)
+
+    assert recall(trained) >= recall(SIM.ivf_centroids(4, 8))
+    # trained quantizer at nprobe=2 on 4 tight clusters: near-perfect
+    assert recall(trained) >= len(exact) * 3 // 4
+    df.unpersist()
