@@ -225,20 +225,45 @@ def main() -> None:
 
         lo = os.environ.get("JOI_SCALE_LO", "4")
         hi = os.environ.get("JOI_SCALE_HI", "16")
-        r_lo = _leg(lo)
-        r_hi = _leg(hi)
-        eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (int(hi) / int(lo))
-        print(json.dumps({
+        # JOI_SCALE_REPS > 1 alternates the legs (lo,hi,lo,hi,...) and
+        # takes the per-leg MEDIAN throughput: ambient host load varies
+        # on a minutes timescale, so back-to-back leg pairs measured
+        # once sample DIFFERENT host conditions per leg — interleaving
+        # and medianing cancels the time-varying bias without cherry-
+        # picking a quiet window.
+        reps = int(os.environ.get("JOI_SCALE_REPS", "1"))
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            lo_runs.append(_leg(lo))
+            hi_runs.append(_leg(hi))
+
+        def _median(xs):
+            xs = sorted(xs)
+            n = len(xs)
+            return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+        tps_lo = _median([r["turns_per_sec"] for r in lo_runs])
+        tps_hi = _median([r["turns_per_sec"] for r in hi_runs])
+        eff = (tps_hi / tps_lo) / (int(hi) / int(lo))
+        out = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
             "unit": "ratio",
             "cores_low": int(lo), "cores_high": int(hi),
-            "turns_per_sec_low": r_lo["turns_per_sec"],
-            "turns_per_sec_high": r_hi["turns_per_sec"],
-            "steal_pct_low": r_lo["steal_pct"],
-            "steal_pct_high": r_hi["steal_pct"],
-            "turns": r_lo["turns"],
-        }))
+            "turns_per_sec_low": round(tps_lo),
+            "turns_per_sec_high": round(tps_hi),
+            "steal_pct_low": _median([r["steal_pct"] for r in lo_runs]),
+            "steal_pct_high": _median([r["steal_pct"] for r in hi_runs]),
+            "turns": lo_runs[0]["turns"],
+        }
+        if reps > 1:
+            out["reps"] = reps
+            out["turns_per_sec_low_all"] = [r["turns_per_sec"] for r in lo_runs]
+            out["turns_per_sec_high_all"] = [r["turns_per_sec"] for r in hi_runs]
+            out["steal_pct_all"] = [r["steal_pct"]
+                                    for pair in zip(lo_runs, hi_runs)
+                                    for r in pair]
+        print(json.dumps(out))
         return
 
     res = bench_once(cpus, sf_dir)
