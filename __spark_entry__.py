@@ -423,6 +423,28 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(docs)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/eval decontamination: benchmark-shingle broadcast join —
+    every (training doc, benchmark doc) pair where ≥50% of the
+    benchmark doc's 3-gram shingles appear in the training doc
+    (joi_spark.operators.dedup.contamination; the benchmark here is
+    the deterministic doc_id % 25 == 0 slice, so self-pairs and the
+    corpus's planted duplicates are the expected hits)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 25) == 0)
+    return DD.contamination(docs, bench, n=3, min_overlap_frac=0.5)
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate-line
+    fractions and most-frequent-2-gram character coverage, computed
+    map-only with per-row array_sort + single-pass aggregate folds
+    (joi_spark.operators.text.repetition_signals — no explode/groupBy
+    shuffle; the oracle recomputes via unnest + GROUP BY)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_signals(docs, ngram_n=2)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composite keep/drop quality gate with per-document reasons.
 
@@ -932,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
         "token_stats": q_token_stats,
+        "contamination": q_contamination,
+        "repetition_signals": q_repetition_signals,
         "quality_filter": q_quality_filter,
         "dedup_corpus": q_dedup_corpus,
         "string_formats": q_string_formats,
@@ -1357,6 +1381,73 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 6)
                        AS chars_per_token
             FROM documents
+        """,
+        "contamination": r"""
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\s+') AS tok
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(tok) - 2),
+                              i -> tok[i+1] || ' ' || tok[i+2] || ' '
+                                   || tok[i+3])) AS s
+                FROM toks)),
+            bench AS (SELECT doc_id AS bid, s FROM sh
+                      WHERE doc_id % 25 = 0),
+            bn AS (SELECT bid, count(*) AS nb FROM bench GROUP BY 1),
+            j AS (SELECT sh.doc_id, b.bid, count(*) AS c
+                  FROM sh JOIN bench b USING (s) GROUP BY 1, 2)
+            SELECT j.doc_id, bid AS bench_id, c AS n_shared,
+                   round(c / nb, 6) AS overlap_frac
+            FROM j JOIN bn USING (bid)
+            WHERE round(c / nb, 6) >= 0.5
+        """,
+        "repetition_signals": r"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            ln AS (SELECT doc_id,
+                          unnest(list_filter(string_split(text, chr(10)),
+                                             x -> x <> '')) AS line
+                   FROM d),
+            lc AS (SELECT doc_id, line, count(*) AS c
+                   FROM ln GROUP BY doc_id, line),
+            lm AS (SELECT doc_id, sum(c) AS n_lines,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                          sum(CASE WHEN c > 1 THEN c * length(line)
+                              ELSE 0 END) AS dup_chars,
+                          sum(c * length(line)) AS tot_chars
+                   FROM lc GROUP BY doc_id),
+            tk AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\s+') AS tok
+                   FROM d),
+            gr AS (SELECT doc_id,
+                          unnest([tok[i] || ' ' || tok[i + 1]
+                                  for i in generate_series(1, len(tok) - 1)])
+                              AS gram
+                   FROM tk WHERE len(tok) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS c
+                   FROM gr GROUP BY doc_id, gram),
+            gm AS (SELECT doc_id, sum(c) AS n_grams,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+                   FROM gc GROUP BY doc_id),
+            gt AS (SELECT doc_id, gram, c,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, gram ASC) AS rn
+                   FROM gc)
+            SELECT d.doc_id,
+                   coalesce(lm.n_lines, 0) AS n_lines,
+                   round(lm.dup_occ / nullif(lm.n_lines, 0), 6)
+                       AS dup_line_frac,
+                   round(lm.dup_chars / nullif(lm.tot_chars, 0), 6)
+                       AS dup_line_char_frac,
+                   gt.gram AS top_ngram,
+                   round(gt.c * length(gt.gram)
+                         / nullif(length(d.text), 0), 6) AS top_ngram_frac,
+                   round(gm.dup_occ / nullif(gm.n_grams, 0), 6)
+                       AS dup_ngram_frac
+            FROM d LEFT JOIN lm USING (doc_id)
+                   LEFT JOIN gm USING (doc_id)
+                   LEFT JOIN gt ON gt.doc_id = d.doc_id AND gt.rn = 1
         """,
         "quality_filter": _quality_filter_oracle(),
         "string_formats": _string_formats_oracle(),

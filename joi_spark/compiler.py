@@ -1083,10 +1083,13 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
             # case ladder, first-match-wins (reference:
             # lib/base.js:344-355); a trailing otherwise (top-level or
             # on the LAST case only — the reference asserts this) catches
-            # unmatched rows.  Documented divergence: the reference's
-            # implicit last-case otherwise (concat of the base schema,
-            # lib/base.js:348-353) is not mirrored — unmatched rows keep
-            # only the base schema's own constraints.
+            # unmatched rows.  The reference's implicit last-case
+            # otherwise (lib/base.js:347-353 sets `last.otherwise =
+            # this`, the base schema) is equivalent here by
+            # construction: base-schema constraints are emitted
+            # unconditionally and branch constraints conditionally, so
+            # matched rows get base ∧ branch and unmatched rows get the
+            # base schema alone — exactly `otherwise = this`.
             matched = F.lit(False)
             final_otherwise = w.get("otherwise")
             last = len(w["switch"]) - 1

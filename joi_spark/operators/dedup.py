@@ -167,6 +167,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+def contamination(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text", *,
+                  n: int = 3, min_overlap_frac: float = 0.0,
+                  min_shared: int = 1) -> DataFrame:
+    """Train/eval contamination detection: for every training document
+    sharing ≥ ``min_shared`` word-``n``-gram shingles with a benchmark
+    document, report ``(doc_id, bench_id, n_shared, overlap_frac)``
+    where ``overlap_frac`` is *containment of the benchmark doc* —
+    shared shingles / benchmark-doc shingles — the decontamination
+    direction (how much of the eval item appears in the training doc;
+    1.0 = the whole benchmark doc's shingle set is present).
+
+    Scale plan: the benchmark corpus is small by definition (eval sets,
+    not training sets), so its shingle index and per-doc sizes are
+    ``F.broadcast`` — the 100 TB training side is never shuffled; only
+    matched (doc, bench) rows enter the partial-aggregated groupBy.
+    Contrast with :func:`ngram_jaccard_pairs`' self-join, which must
+    shuffle on the shingle.
+    """
+    corpus_idx = _shingle_index(df, id_col, text_col, n, None)
+    bench_idx = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.explode(shingles(F.col(bench_text_col), n)).alias("_sh"))
+    bench_sizes = bench_idx.groupBy("_bid").agg(
+        F.count(F.lit(1)).alias("_bn"))
+    shared = (corpus_idx.join(F.broadcast(bench_idx), "_sh")
+              .groupBy("_id", "_bid")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    out = (shared.join(F.broadcast(bench_sizes), "_bid")
+           .withColumn("overlap_frac",
+                       F.round(F.col("n_shared") / F.col("_bn"), 6))
+           .filter(F.col("overlap_frac") >= min_overlap_frac)
+           .select(F.col("_id").alias(id_col),
+                   F.col("_bid").alias("bench_id"),
+                   "n_shared", "overlap_frac"))
+    return out
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text", *,
+                  n: int = 3, min_overlap_frac: float = 0.8,
+                  **kwargs) -> DataFrame:
+    """Materialize the decontaminated corpus: drop every training doc
+    whose benchmark containment reaches ``min_overlap_frac`` for ANY
+    benchmark doc.  Broadcast anti-join on the (small) contaminated-id
+    list — same shape as :func:`dedup_corpus`."""
+    hits = contamination(df, benchmark, id_col, text_col, n=n,
+                         min_overlap_frac=min_overlap_frac, **kwargs)
+    drops = hits.select(id_col).distinct()
+    return df.join(drops, [id_col], "left_anti")
+
+
 # --- tier 4: MinHash + LSH -------------------------------------------------
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -176,6 +176,120 @@ def quality_filter(df: DataFrame, text_col: str = "text",
                      reasons.alias("reasons"))
 
 
+def _run_stats(sorted_arr: Column) -> Column:
+    """Single-pass duplicate/run statistics over an already-sorted
+    string array — one ``F.aggregate`` fold, O(len) after the O(n log n)
+    sort, entirely JVM-side.
+
+    Equal elements are adjacent after the sort, so duplicate accounting
+    is run-length accounting: when a run reaches length 2 both
+    occurrences become duplicates (+2), every further repeat adds one.
+    Tracks ``(dup_occ, dup_chars, best_run, best)`` where ``best`` is
+    the most frequent element — ties broken toward the lexicographically
+    smallest, because the fold scans in sorted order and only a strictly
+    longer run replaces the incumbent."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("dup_occ"),
+        F.lit(0).cast("bigint").alias("dup_chars"),
+        F.lit(0).cast("bigint").alias("best_run"),
+        F.lit(None).cast("string").alias("best"),
+    )
+
+    def merge(acc, x):
+        new_run = (F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+                    .otherwise(F.lit(1)).cast("bigint"))
+        occ_add = (F.when(new_run == 2, F.lit(2))
+                    .when(new_run > 2, F.lit(1))
+                    .otherwise(F.lit(0)).cast("bigint"))
+        better = new_run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"),
+            (acc["dup_occ"] + occ_add).alias("dup_occ"),
+            (acc["dup_chars"] + occ_add * F.length(x)).alias("dup_chars"),
+            F.when(better, new_run).otherwise(acc["best_run"])
+             .alias("best_run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(
+        sorted_arr, init, merge,
+        lambda acc: F.struct(acc["dup_occ"].alias("dup_occ"),
+                             acc["dup_chars"].alias("dup_chars"),
+                             acc["best_run"].alias("best_run"),
+                             acc["best"].alias("best")))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of ``col`` as a space-joined string array (empty
+    when the document has fewer than ``n`` tokens — the guard also
+    avoids Spark's descending ``sequence(1, 0)`` surprise)."""
+    toks = tokens(col)
+    t = F.size(toks)
+    grams = F.transform(F.sequence(F.lit(1), t - n + 1),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(t >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       ngram_n: int = 2) -> DataFrame:
+    """Repetition-based quality signals in the style of the published
+    web-corpus filtering heuristics (duplicate-line fraction and
+    most-frequent-n-gram character coverage — the Gopher/C4-family
+    rules): ``(id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_ngram, top_ngram_frac, dup_ngram_frac)``.
+
+    - ``dup_line_frac`` — fraction of non-empty line *occurrences*
+      whose line text appears more than once in the document.
+    - ``dup_line_char_frac`` — same, weighted by line length in chars.
+    - ``top_ngram`` / ``top_ngram_frac`` — the most frequent word
+      ``ngram_n``-gram (count ties → lexicographically smallest) and
+      the fraction of document characters its occurrences cover
+      (``count * length(gram) / n_chars``; overlapping occurrences make
+      >1.0 possible for pathological inputs — it is a signal, not a
+      probability).
+    - ``dup_ngram_frac`` — fraction of n-gram occurrences that are
+      duplicates.
+
+    Scale: map-only projection — per-document ``array_sort`` +
+    single-pass ``aggregate`` folds (O(T log T) per doc), no shuffle,
+    no UDF; holds trivially at 100 TB.  This is deliberately NOT the
+    explode → groupBy(doc, gram) formulation: that shuffles every
+    token of the corpus, while per-row higher-order functions keep the
+    whole computation inside one codegen'd stage."""
+    col = F.col(text_col)
+    lines = F.filter(F.split(col, "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0).cast("bigint"),
+                             lambda acc, x: acc + F.length(x))
+    ls = _run_stats(F.array_sort(lines))
+
+    grams = word_ngrams(col, ngram_n)
+    n_grams = F.size(grams)
+    gs = _run_stats(F.array_sort(grams))
+    top = F.when(n_grams > 0, gs["best"])
+
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(ls["dup_occ"] / F.nullif(n_lines.cast("bigint"),
+                                         F.lit(0)), 6)
+         .alias("dup_line_frac"),
+        F.round(ls["dup_chars"] / F.nullif(line_chars, F.lit(0)), 6)
+         .alias("dup_line_char_frac"),
+        top.alias("top_ngram"),
+        F.round(gs["best_run"] * F.length(top)
+                / F.nullif(F.length(col).cast("bigint"), F.lit(0)), 6)
+         .alias("top_ngram_frac"),
+        F.round(gs["dup_occ"] / F.nullif(n_grams.cast("bigint"),
+                                         F.lit(0)), 6)
+         .alias("dup_ngram_frac"),
+    )
+
+
 def fingerprint(col: Column, k: int = 8) -> Column:
     """Deterministic document fingerprint: md5 of the first ``k``
     lowercased tokens — the cheap prefix-dup detector (md5 chosen for

@@ -32,6 +32,15 @@ def get_spark(master: str | None = None, app: str = "joi_spark",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4.x captures a Python stack trace on EVERY DataFrame
+        # API call for error call-site reporting (errors/utils.py
+        # _with_origin) — ~5 ms of py4j round-trips per call.  Compiled
+        # plans issue thousands of Column calls, so this is pure driver
+        # overhead at plan-build time (measured: string_formats build
+        # 3.4 s → sub-second with it off).  Error *content* is
+        # unaffected; only the "was created at <file:line>" decoration
+        # is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # engine semantics depend on try_cast-style conversion, not errors
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")

@@ -292,6 +292,75 @@ def test_quality_filter_lang_gate(spark):
     assert not out[1]["keep"] and "lang:en" in out[1]["reasons"]
 
 
+def test_contamination(docs):
+    bench = docs.filter(F.col("doc_id").isin(0, 3))
+    out = {(r["doc_id"], r["bench_id"]): r
+           for r in DD.contamination(docs, bench, n=3).collect()}
+    # self-pairs: full containment
+    assert out[(0, 0)]["overlap_frac"] == 1.0
+    assert out[(3, 3)]["overlap_frac"] == 1.0
+    # doc 1 is an exact dup of benchmark doc 0 → containment 1.0
+    assert out[(1, 0)]["overlap_frac"] == 1.0
+    # doc 2 is a near dup → high but partial containment
+    assert 0.5 < out[(2, 0)]["overlap_frac"] < 1.0
+    # doc 4 shares nothing with either benchmark doc
+    assert not any(k[0] == 4 for k in out)
+
+
+def test_decontaminate(docs):
+    bench = docs.filter(F.col("doc_id").isin(0, 3))
+    kept = sorted(r["doc_id"]
+                  for r in DD.decontaminate(docs, bench, n=3,
+                                            min_overlap_frac=0.9).collect())
+    # docs 0, 1 (dup of bench 0) and 3 (bench itself) are contaminated
+    assert kept == [2, 4, 5]
+
+
+def test_contamination_broadcasts_benchmark(docs):
+    bench = docs.filter(F.col("doc_id").isin(0, 3))
+    plan = DD.contamination(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the 100 TB side must meet the benchmark via broadcast, never a
+    # shuffle keyed on the shingle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a b"),                                   # heavy 2-gram rep
+        (1, "line one\nline two\nline one\n\nline one"),
+        (2, "unique words only here today"),
+        (3, "x"),                                             # < n tokens
+        (4, "tie tie bar bar baz"),                           # count tie
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in TX.repetition_signals(df).collect()}
+    # doc 0: grams = [a b, b a, a b, b a, a b] → top 'a b' ×3 of 5
+    assert out[0]["top_ngram"] == "a b"
+    assert out[0]["dup_ngram_frac"] == 1.0
+    assert out[0]["top_ngram_frac"] == round(3 * 3 / 11, 6)
+    # doc 1: 4 non-empty lines, 'line one' ×3 duplicated
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.75
+    assert out[1]["dup_line_char_frac"] == 0.75
+    assert out[1]["top_ngram"] == "line one"
+    # doc 2: all grams unique; tie broken to lexicographically smallest
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram"] == "here today"
+    # doc 3: no 2-grams at all
+    assert out[3]["top_ngram"] is None
+    assert out[3]["dup_ngram_frac"] is None
+    # doc 4: four distinct grams, smallest wins the tie
+    assert out[4]["top_ngram"] == "bar bar"
+
+
+def test_repetition_signals_map_only(docs):
+    # the scale claim: no shuffle — per-row HOFs only, one stage
+    plan = TX.repetition_signals(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_dedup_corpus(docs):
     pairs = DD.exact_duplicates(docs, ["text"])
     kept = sorted(r["doc_id"]
