@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import joi_spark as joi
+from joi_spark.operators import corpus as CP
 from joi_spark.operators import dataset as DS
 from joi_spark.operators import dedup as DD
 from joi_spark.operators import drift as DR
@@ -421,6 +422,62 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """whitespace + BPE-ish regex token counting over documents."""
     docs = _t(spark, sf_dir, "documents")
     return TX.token_stats(docs)
+
+
+def _pii_seed(spark_dialect: bool) -> str:
+    """Deterministic PII injection into the documents text — the SAME
+    expression in both dialects so inputs are byte-identical."""
+    t = "STRING" if spark_dialect else "VARCHAR"
+    s = f"CAST(doc_id AS {t})"
+    return (
+        f"text"
+        f" || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || {s}"
+        f" || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.'"
+        f" || CAST(doc_id % 256 AS {t}) || '.7' ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+        f" || CASE WHEN doc_id % 6 = 0 THEN ' card 4111111111111'"
+        f" || CAST(doc_id % 10 AS {t}) ELSE '' END")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category counts over documents salted
+    with deterministic synthetic PII (joi_spark.operators.corpus;
+    patterns are RE2-safe so the oracle runs the IDENTICAL strings)."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _pii_seed(True) + " AS text")
+    return CP.pii_scrub(docs)
+
+
+def _pii_scrub_oracle() -> str:
+    from joi_spark.operators.corpus import PII_PATTERNS
+    sql = (f"WITH s0 AS (SELECT doc_id, {_pii_seed(False)} AS t"
+           f" FROM documents)")
+    prev = "s0"
+    cols = []
+    for i, (cat, pat, repl) in enumerate(PII_PATTERNS, 1):
+        carried = ", ".join(f"n_{c}" for c, _, _ in PII_PATTERNS[:i - 1])
+        carried = carried + ", " if carried else ""
+        sql += (f", s{i} AS (SELECT doc_id, {carried}"
+                f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+                f" AS n_{cat}, "
+                f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t"
+                f" FROM {prev})")
+        prev = f"s{i}"
+        cols.append(f"n_{cat}")
+    total = " + ".join(cols)
+    return (sql + f" SELECT doc_id, t AS text, {', '.join(cols)}, "
+            f"CAST({total} AS BIGINT) AS n_pii FROM {prev}")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic train/val/test assignment keyed only on
+    md5(seed:id) — stable under resharding, unlike df.sample()
+    (joi_spark.operators.corpus.hash_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CP.hash_split(docs, weights={"train": 0.9, "val": 0.05,
+                                       "test": 0.05}, seed="r3")
+    return out.select("doc_id", "split")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
         "token_stats": q_token_stats,
+        "pii_scrub": q_pii_scrub,
+        "hash_split": q_hash_split,
         "contamination": q_contamination,
         "repetition_signals": q_repetition_signals,
         "quality_filter": q_quality_filter,
@@ -1382,6 +1441,13 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_per_token
             FROM documents
         """,
+        "pii_scrub": _pii_scrub_oracle(),
+        "hash_split": (
+            "SELECT doc_id, "
+            + CP.split_thresholds({"train": 0.9, "val": 0.05,
+                                   "test": 0.05},
+                                  seed="r3").format(id="doc_id")
+            + " AS split FROM documents"),
         "contamination": r"""
             WITH toks AS (SELECT doc_id,
                                  string_split_regex(trim(lower(text)),

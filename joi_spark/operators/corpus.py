@@ -1,0 +1,118 @@
+"""Corpus-pipeline utilities: PII scrubbing and deterministic
+train/val/test splitting.
+
+These are the two remaining steps a training-data pipeline runs after
+profiling/dedup (reference's string format family, lib/types/string/
+index.js:211-366, supplies the per-value *validators*; scrubbing is
+the corpus-level redaction counterpart).  Both are map-only
+projections — no shuffle, no UDF, whole-stage-codegen eligible —
+so they hold trivially at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Embedded (un-anchored) PII patterns.  Deliberately RE2-safe — no
+# lookaround, no backreferences — so the DuckDB oracle runs these
+# LITERAL pattern strings; this module is the single source of truth.
+# The validation-grade anchored grammars live in functions/regexes.py;
+# redaction wants embedded practical patterns, and `card_like` is the
+# conservative digit-run form (no per-match Luhn — documented
+# over-match is the standard scrubbing tradeoff).
+#
+# Order matters and is part of the contract: counts are measured on
+# the PROGRESSIVELY-redacted text (count, replace, next pattern), so
+# an SSN consumed by the ssn pattern can no longer match phone/card
+# forms.  Both engines apply the same sequence → identical outputs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("guid", r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b", "[GUID]"),
+    ("ip", r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+           r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("card_like", r"\b\d{13,19}\b", "[CARD]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              categories: list[str] | None = None) -> DataFrame:
+    """Redact PII from ``text_col`` and count what was removed:
+    ``(id, text, n_<category>..., n_pii)`` where ``text`` is the
+    redacted document.
+
+    One chained ``regexp_count`` + ``regexp_replace`` projection per
+    category, evaluated in :data:`PII_PATTERNS` order on the
+    progressively-redacted text.  Map-only; JVM regex engine; no UDF.
+    """
+    pats = [(c, p, r) for c, p, r in PII_PATTERNS
+            if categories is None or c in categories]
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for cat, pat, repl in pats:
+        counts.append(F.regexp_count(cur, F.lit(pat))
+                       .cast("bigint").alias(f"n_{cat}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = None
+    for c in counts:
+        total = c if total is None else total + c
+    return df.select(F.col(id_col), cur.alias(text_col), *counts,
+                     total.cast("bigint").alias("n_pii"))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None,
+               seed: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split``
+    column keyed ONLY on ``md5(seed || ':' || id)`` — stable under
+    repartitioning, resharding, re-runs, and engine changes (the
+    property `df.sample()` does NOT have; sample's output depends on
+    partition layout, which is exactly what you cannot rely on at
+    100 TB).
+
+    The first 8 md5 hex chars are compared lexicographically against
+    cumulative-weight thresholds (hex strings compare like the
+    underlying uniform integer, and the comparison is
+    engine-portable — no hex→int cast needed).  The last split is the
+    CASE ladder's ELSE, so weights that sum to 1.0 cover the space
+    exactly.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1.0")
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col(id_col).cast("string"))), 1, 8)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = format(int(cum * 16 ** 8), "08x")
+        branch = h < F.lit(thr)
+        expr = (F.when(branch, F.lit(name)) if expr is None
+                else expr.when(branch, F.lit(name)))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_thresholds(weights: dict[str, float], seed: str = "") -> str:
+    """The DuckDB CASE expression equivalent of :func:`hash_split`'s
+    assignment for oracle generation — same thresholds, same md5 key.
+    ``{id}`` is left as a placeholder for the id column expression."""
+    names = list(weights)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = format(int(cum * 16 ** 8), "08x")
+        whens.append(
+            f"WHEN substr(md5('{seed}' || ':' || CAST({{id}} AS VARCHAR)),"
+            f" 1, 8) < '{thr}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
