@@ -424,6 +424,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(docs)
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap-based sessionization (8h gap) + per-session aggregates over
+    the events stream (joi_spark.operators.dataset.sessionize /
+    session_stats; epoch-microsecond gap math so DuckDB's epoch_us
+    reproduces the integers bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events")
+    return DS.session_stats(ev, gap_seconds=28800)
+
+
 def _pii_seed(spark_dialect: bool) -> str:
     """Deterministic PII injection into the documents text — the SAME
     expression in both dialects so inputs are byte-identical."""
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "pii_scrub": q_pii_scrub,
         "hash_split": q_hash_split,
+        "session_stats": q_session_stats,
         "contamination": q_contamination,
         "repetition_signals": q_repetition_signals,
         "quality_filter": q_quality_filter,
@@ -1442,6 +1452,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "session_stats": r"""
+            WITH o AS (SELECT event_id, user_id, ts,
+                              epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pus
+                       FROM events),
+            s AS (SELECT user_id, ts, us,
+                         sum(CASE WHEN pus IS NULL
+                                       OR us - pus > 28800000000
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                             AS session_idx
+                  FROM o)
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS sess_start, max(ts) AS sess_end,
+                   round((max(us) - min(us)) / 1000000.0, 6)
+                       AS duration_sec
+            FROM s GROUP BY user_id, session_idx
+        """,
         "hash_split": (
             "SELECT doc_id, "
             + CP.split_thresholds({"train": 0.9, "val": 0.05,

@@ -312,3 +312,64 @@ def validate_dataset(df: DataFrame, *, tools_dim: DataFrame | None = None,
         out = out.unionAll(p)
     out = out.unionAll(heads)
     return out.orderBy(conv_col, idx_col, "seq")
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", *, gap_seconds: int = 1800,
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based session assignment for event/transcript streams that
+    lack explicit conversation boundaries: adds ``session_idx``
+    (1-based per key) — a new session starts whenever the gap to the
+    key's previous event exceeds ``gap_seconds``.
+
+    Classic two-window formulation: lag() finds the gaps, a running
+    sum of the new-session flags numbers them.  Timestamps compare in
+    epoch MICROseconds (``unix_micros``), so sub-second gaps resolve
+    exactly and the DuckDB oracle (``epoch_us``) reproduces the
+    integers bit-for-bit; ties order by ``id_col``.
+
+    Scale: one shuffle on ``key_col``.  Session continuity makes the
+    per-key scan inherently sequential, so — unlike this module's
+    conversation checks — the predecessor-join trick can't break up a
+    hot key; per-key cost is bounded by that key's event count.  For
+    keys with millions of events, pre-partition the input by
+    (key, coarse time bucket) and stitch sessions at bucket
+    boundaries; at transcript cadence (human-scale event rates) the
+    plain window is the right default.
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col), F.col(id_col)))
+    # parquet naive timestamps read as TIMESTAMP_NTZ; unix_micros wants
+    # an instant — the session runs in UTC, so the cast is wall-clock
+    # identity and matches DuckDB's epoch_us on the same naive value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = (prev.isNull() |
+                ((us - prev) > gap_seconds * 1_000_000)).cast("bigint")
+    # two projections: Spark can't nest a window function inside
+    # another window's argument — but both windows share the same
+    # partitioning/ordering, so the physical plan sorts once and runs
+    # both Window operators back-to-back with no second exchange
+    idx = F.sum("_new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_new_sess", new_sess)
+              .withColumn("session_idx", idx).drop("_new_sess"))
+
+
+def session_stats(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", *, gap_seconds: int = 1800,
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-session aggregates over :func:`sessionize` output:
+    ``(key, session_idx, n_events, sess_start, sess_end,
+    duration_sec)``.  The groupBy partial-aggregates map-side and
+    reuses the sessionize shuffle's partitioning (same key prefix —
+    no second exchange of the full data)."""
+    s = sessionize(df, key_col, ts_col, gap_seconds=gap_seconds,
+                   id_col=id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (s.groupBy(key_col, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("sess_start"),
+                 F.max(ts_col).alias("sess_end"),
+                 F.round((F.max(us) - F.min(us)) / 1_000_000.0, 6)
+                  .alias("duration_sec")))

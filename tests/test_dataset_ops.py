@@ -125,3 +125,50 @@ def test_ks_numeric(spark):
 def test_ks_rejects_categorical(transcripts):
     with pytest.raises(ValueError):
         ks_statistic(transcripts, "role")
+
+
+def test_sessionize(spark):
+    from datetime import datetime as DT
+    rows = [
+        (1, DT(2024, 1, 1, 0, 0, 0), 10),
+        (2, DT(2024, 1, 1, 0, 10, 0), 10),   # 10 min gap → same session
+        (3, DT(2024, 1, 1, 2, 0, 0), 10),    # 110 min gap → new session
+        (4, DT(2024, 1, 1, 0, 5, 0), 20),    # other user
+        (5, DT(2024, 1, 1, 2, 0, 0, 500000), 10),  # 0.5s after #3 → same
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = {r["event_id"]: r["session_idx"]
+           for r in D.sessionize(df, gap_seconds=1800).collect()}
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 2 and out[5] == 2
+    assert out[4] == 1
+
+
+def test_session_stats(spark):
+    from datetime import datetime as DT
+    rows = [
+        (1, DT(2024, 1, 1, 0, 0, 0), 10),
+        (2, DT(2024, 1, 1, 0, 10, 0), 10),
+        (3, DT(2024, 1, 1, 2, 0, 0), 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = {(r["user_id"], r["session_idx"]): r
+           for r in D.session_stats(df, gap_seconds=1800).collect()}
+    s1 = out[(10, 1)]
+    assert s1["n_events"] == 2 and s1["duration_sec"] == 600.0
+    assert out[(10, 2)]["n_events"] == 1
+    assert out[(10, 2)]["duration_sec"] == 0.0
+
+
+def test_session_stats_single_exchange(spark):
+    from datetime import datetime as DT
+    df = spark.createDataFrame(
+        [(1, DT(2024, 1, 1), 10)],
+        "event_id bigint, ts timestamp, user_id bigint")
+    plan = D.session_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the groupBy(user, session_idx) must reuse the window's
+    # hash(user_id) partitioning — exactly one shuffle of the data
+    assert plan.count("Exchange hashpartitioning") == 1, plan
