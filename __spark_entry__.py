@@ -424,6 +424,14 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(docs)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-size token-window chunking with overlap (64-token chunks,
+    16-token overlap → stride 48) — map-only transform + posexplode
+    (joi_spark.operators.corpus.chunk_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gap-based sessionization (8h gap) + per-session aggregates over
     the events stream (joi_spark.operators.dataset.sessionize /
@@ -1023,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_split": q_hash_split,
         "session_stats": q_session_stats,
+        "chunk_documents": q_chunk_documents,
         "contamination": q_contamination,
         "repetition_signals": q_repetition_signals,
         "quality_filter": q_quality_filter,
@@ -1452,6 +1461,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "chunk_documents": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(
+                                  string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS tok
+                       FROM documents),
+            w AS (SELECT doc_id, tok,
+                         CASE WHEN len(tok) = 0 THEN 0
+                              ELSE CAST(1 + ceil(greatest(len(tok) - 64, 0)
+                                                 / 48.0) AS INT)
+                         END AS n_win
+                  FROM t),
+            c AS (SELECT doc_id,
+                         unnest([{'ci': i - 1,
+                                  'ch': array_to_string(
+                                      tok[(i-1)*48 + 1 : (i-1)*48 + 64],
+                                      ' '),
+                                  'n': len(tok[(i-1)*48 + 1
+                                               : (i-1)*48 + 64])}
+                                 for i in generate_series(1, n_win)]) AS s
+                  FROM w)
+            SELECT doc_id, s.ci AS chunk_idx,
+                   CAST(s.n AS BIGINT) AS n_chunk_tokens,
+                   s.ch AS chunk
+            FROM c
+        """,
         "session_stats": r"""
             WITH o AS (SELECT event_id, user_id, ts,
                               epoch_us(ts) AS us,

@@ -102,6 +102,53 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("split", expr)
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    chunk_tokens: int = 128,
+                    overlap: int = 0) -> DataFrame:
+    """Split documents into fixed-size whitespace-token windows with
+    optional overlap — the standard pre-training/embedding prep step:
+    ``(id, chunk_idx, n_chunk_tokens, chunk)``.
+
+    Stride is ``chunk_tokens - overlap``; the last window may be
+    short; a document shorter than one window yields exactly one
+    chunk; empty / whitespace-only / NULL documents yield ZERO chunks
+    (posexplode of an empty or null array emits no rows).  Map-only
+    ``transform`` over a start-index sequence + ``posexplode`` — the
+    50×-ish row amplification happens AFTER the scan inside the same
+    stage, so input splits parallelize it and nothing shuffles.
+    """
+    from joi_spark.operators.text import tokens
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # shared whitespace tokenizer (text.py), minus the split('')→['']
+    # artifact so empty docs produce an empty token array
+    toks = F.filter(tokens(F.col(text_col)),
+                    lambda x: x != F.lit(""))
+    n = F.size(toks)
+    # windows: 0 for empty docs, else 1 + ceil(max(0, n - chunk)/stride)
+    # (the when-guard also avoids sequence(0, -1)'s descending surprise)
+    n_win = (F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / stride)).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_win - 1))
+    window = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)  # noqa: E731
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(window(i), " ").alias("chunk"),
+            # token count comes from the slice itself — no second
+            # regex pass over the amplified output text
+            F.size(window(i)).cast("bigint").alias("n")))
+    out = df.select(F.col(id_col), F.posexplode(chunks)
+                    .alias("chunk_idx", "_c"))
+    return out.select(
+        id_col, "chunk_idx",
+        F.col("_c.n").alias("n_chunk_tokens"),
+        F.col("_c.chunk").alias("chunk"))
+
+
 def split_thresholds(weights: dict[str, float], seed: str = "") -> str:
     """The DuckDB CASE expression equivalent of :func:`hash_split`'s
     assignment for oracle generation — same thresholds, same md5 key.

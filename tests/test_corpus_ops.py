@@ -98,3 +98,43 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1,)], "doc_id bigint")
     with pytest.raises(ValueError):
         CP.hash_split(df, weights={"a": 0.5, "b": 0.6})
+
+
+def test_chunk_documents(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text), (1, "a b c")],
+                               "doc_id bigint, text string")
+    out = CP.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted([(r["doc_id"], r["chunk_idx"], r["chunk"])
+                   for r in out.collect()])
+    # stride 3: starts 0,3,6 cover w0..w9 (last window short)
+    assert rows == [
+        (0, 0, "w0 w1 w2 w3"),
+        (0, 1, "w3 w4 w5 w6"),
+        (0, 2, "w6 w7 w8 w9"),
+        (1, 0, "a b c"),                      # shorter than one window
+    ]
+    counts = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"]
+              for r in out.collect()}
+    assert counts[(0, 2)] == 4 and counts[(1, 0)] == 3
+
+
+def test_chunk_documents_no_overlap_covers_everything(spark):
+    text = " ".join(f"w{i}" for i in range(250))
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    rows = CP.chunk_documents(df, chunk_tokens=100).collect()
+    assert sum(r["n_chunk_tokens"] for r in rows) == 250
+    assert [r["chunk_idx"] for r in sorted(rows, key=lambda r: r["chunk_idx"])] == [0, 1, 2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        CP.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_empty_and_null_yield_no_chunks(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, None), (3, "x y")],
+                               "doc_id bigint, text string")
+    rows = CP.chunk_documents(df, chunk_tokens=4).collect()
+    assert [(r["doc_id"], r["chunk"]) for r in rows] == [(3, "x y")]
