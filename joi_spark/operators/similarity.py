@@ -105,8 +105,44 @@ def vector_dim(df: DataFrame, vec_col: str,
         per = {}
         _dim_cache[df] = per
     if vec_col not in per:
-        per[vec_col] = len(df.select(vec_col).first()[0])
+        row = df.filter(F.col(vec_col).isNotNull()) \
+                .select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                f"cannot infer vector dim: no non-null values in "
+                f"{vec_col!r} — pass dim= explicitly")
+        per[vec_col] = len(row[0])
     return per[vec_col]
+
+
+def _rescore_topk(df: DataFrame, cands: DataFrame, query_ids: list,
+                  k: int, id_col: str, vec_col: str,
+                  dim: int) -> DataFrame:
+    """Exact-cosine rescoring of candidate pairs + per-query top-k —
+    the shared tail of lsh_topk / ivf_topk.
+
+    The query side is FILTERED to ``query_ids`` BEFORE the broadcast:
+    the join's semantic restriction to candidate query ids happens
+    after the broadcast materializes, so broadcasting the unfiltered
+    corpus projection would collect the whole table to the driver —
+    the one plan shape this module exists to avoid."""
+    q = df.filter(F.col(id_col).isin(query_ids)) \
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("_qv"),
+                  norm_expr(vec_col, dim).alias("_qn"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("_cv"),
+                  norm_expr(vec_col, dim).alias("_cn"))
+    scored = (cands.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+              .withColumn("cosine",
+                          dot_expr("_qv", "_cv", dim)
+                          / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.round("cosine", 6).alias("cosine"), "rank"))
 
 
 def cosine_topk(df: DataFrame, query_ids: list, k: int = 5,
@@ -248,22 +284,7 @@ def lsh_topk(df: DataFrame, query_ids: list, k: int = 5,
     cands = (F.broadcast(qb).join(cb, ["table", "bucket"])
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id").distinct())
-    q = df.select(F.col(id_col).alias("query_id"),
-                  F.col(vec_col).alias("_qv"),
-                  norm_expr(vec_col, dim).alias("_qn"))
-    c = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("_cv"),
-                  norm_expr(vec_col, dim).alias("_cn"))
-    scored = (cands.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
-              .withColumn("cosine",
-                          dot_expr("_qv", "_cv", dim)
-                          / (F.col("_qn") * F.col("_cn"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id",
-                          F.round("cosine", 6).alias("cosine"), "rank"))
+    return _rescore_topk(df, cands, query_ids, k, id_col, vec_col, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -420,19 +441,4 @@ def ivf_topk(df: DataFrame, query_ids: list, k: int = 5,
     cands = (F.broadcast(probes).join(home, "list_id")
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id"))
-    q = df.select(F.col(id_col).alias("query_id"),
-                  F.col(vec_col).alias("_qv"),
-                  norm_expr(vec_col, dim).alias("_qn"))
-    c = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("_cv"),
-                  norm_expr(vec_col, dim).alias("_cn"))
-    scored = (cands.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
-              .withColumn("cosine",
-                          dot_expr("_qv", "_cv", dim)
-                          / (F.col("_qn") * F.col("_cn"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id",
-                          F.round("cosine", 6).alias("cosine"), "rank"))
+    return _rescore_topk(df, cands, query_ids, k, id_col, vec_col, dim)
