@@ -21,6 +21,7 @@ from joi_spark.operators import dataset as DS
 from joi_spark.operators import dedup as DD
 from joi_spark.operators import drift as DR
 from joi_spark.operators import multimodal as MM
+from joi_spark.operators import sampling as SP
 from joi_spark.operators import similarity as SIM
 from joi_spark.operators import stats as ST
 from joi_spark.operators import text as TX
@@ -737,6 +738,55 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_corpus(docs, pairs).select("doc_id", "text")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contiguous concat-then-split packing of documents into
+    64-token context windows across 4 shards — window prefix sum,
+    one shuffle on the shard key
+    (joi_spark.operators.corpus.pack_sequences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_sequences(docs, capacity=64, n_shards=4)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language-balanced deterministic downsampling: per-stratum
+    md5-threshold rates, one map-only CASE filter
+    (joi_spark.operators.sampling.stratified_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.stratified_sample(docs, "lang",
+                               {"en": 0.5, "de": 0.25}, seed="r3",
+                               default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
+def q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): priority u^(1/w) from the md5 uniform, top-k via
+    TakeOrderedAndProject — no global sort
+    (joi_spark.operators.sampling.weighted_sample_topk)."""
+    orders = _t(spark, sf_dir, "orders")
+    return SP.weighted_sample_topk(orders, "o_totalprice", 100,
+                                   id_col="o_orderkey", seed="r3")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected components over the 3-gram Jaccard near-dup pairs —
+    min-label propagation with pointer jumping, O(log diameter)
+    rounds (joi_spark.operators.dedup.dedup_clusters)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8)
+    return DD.dedup_clusters(pairs).orderBy("id")
+
+
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of the priority mix year-over-year —
+    the bounded symmetric companion to PSI
+    (joi_spark.operators.drift.js_divergence)."""
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumn("epoch", F.year("o_orderdate"))
+    out = DR.js_divergence(orders, "o_orderpriority", epoch_col="epoch")
+    return out.withColumn("jsd", F.round("jsd", 6))
+
+
 # ---------------------------------------------------------------------------
 # oracle-SQL generators for the LSH-family queries: the hyperplanes and
 # bit hashes are deterministic (md5-derived), so the DuckDB oracle can
@@ -1039,6 +1089,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_formats": q_string_formats,
         "generic_flags": q_generic_flags,
         "object_tail": q_object_tail,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "weighted_topk": q_weighted_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "js_drift": q_js_drift,
     }
 
 
@@ -1603,5 +1658,106 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN
                   (SELECT doc_id FROM k WHERE doc_id <> keep)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+                              CAST(coalesce(len(list_filter(
+                                  string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')), 0) AS BIGINT) AS n_tokens
+                       FROM documents),
+            o AS (SELECT *,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                              PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                             AS start_offset
+                  FROM t)
+            SELECT doc_id, shard, n_tokens, start_offset,
+                   CAST(floor(start_offset / 64.0) AS BIGINT) AS pack_id,
+                   (start_offset % 64) + n_tokens > 64 AS straddles
+            FROM o
+        """,
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE substr(md5('r3' || ':' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 8) <"
+            " CASE lang"
+            f" WHEN 'en' THEN '{SP.rate_threshold(0.5)}'"
+            f" WHEN 'de' THEN '{SP.rate_threshold(0.25)}'"
+            f" ELSE '{SP.rate_threshold(0.1)}' END"),
+        "weighted_topk": (
+            "WITH s AS (SELECT o_orderkey,"
+            " CAST(o_totalprice AS DOUBLE) AS weight,"
+            " pow(" + SP.hex_uniform_sql(
+                "md5('r3' || ':' || CAST(o_orderkey AS VARCHAR))")
+            + ", 1.0 / CAST(o_totalprice AS DOUBLE)) AS pri"
+            " FROM orders"
+            " WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),"
+            " r AS (SELECT *, row_number() OVER"
+            " (ORDER BY pri DESC, o_orderkey ASC) AS rank FROM s)"
+            " SELECT o_orderkey, weight, round(pri, 6) AS priority,"
+            " CAST(rank AS INT) AS rank FROM r WHERE rank <= 100"),
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS tok
+                FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(tok) - 2),
+                              i -> tok[i+1] || ' ' || tok[i+2] || ' '
+                                   || tok[i+3])) AS s
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                              count(*) AS c
+                       FROM sh a JOIN sh b
+                         ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            p AS (SELECT ida, idb
+                  FROM common
+                  JOIN sizes sa ON ida = sa.doc_id
+                  JOIN sizes sb ON idb = sb.doc_id
+                  WHERE c / (sa.n + sb.n - c) >= 0.8),
+            e AS (SELECT ida AS a, idb AS b FROM p
+                  UNION SELECT idb, ida FROM p),
+            reach(v, u) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT e.a, r.u FROM e JOIN reach r ON e.b = r.v)
+            SELECT v AS id, min(u) AS cluster_id
+            FROM reach GROUP BY v
+        """,
+        "js_drift": """
+            WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS epoch,
+                              o_orderpriority AS bucket
+                       FROM orders WHERE o_orderpriority IS NOT NULL),
+            counts AS (SELECT epoch, bucket,
+                              CAST(count(*) AS DOUBLE) AS cnt
+                       FROM d GROUP BY 1, 2),
+            totals AS (SELECT epoch, sum(cnt) AS total
+                       FROM counts GROUP BY 1),
+            frac AS (SELECT c.epoch, c.bucket, c.cnt / t.total AS frac
+                     FROM counts c JOIN totals t ON c.epoch = t.epoch),
+            base AS (SELECT bucket, frac AS q FROM frac
+                     WHERE epoch = (SELECT min(epoch) FROM frac)),
+            grid AS (SELECT e.epoch, b.bucket
+                     FROM (SELECT DISTINCT epoch FROM frac
+                           WHERE epoch <> (SELECT min(epoch) FROM frac)) e
+                     CROSS JOIN (SELECT DISTINCT bucket FROM frac) b),
+            j AS (SELECT g.epoch,
+                         coalesce(f.frac, 0) + 1e-6 AS p,
+                         coalesce(bs.q, 0) + 1e-6 AS q
+                  FROM grid g
+                  LEFT JOIN frac f
+                    ON g.epoch = f.epoch AND g.bucket = f.bucket
+                  LEFT JOIN base bs ON g.bucket = bs.bucket)
+            SELECT 'o_orderpriority' AS "column", epoch,
+                   CAST((SELECT min(epoch) FROM frac) AS VARCHAR)
+                       AS baseline_epoch,
+                   round(sum((p * ln(p / ((p + q) / 2))
+                              + q * ln(q / ((p + q) / 2))) / 2), 6)
+                       AS jsd
+            FROM j GROUP BY epoch ORDER BY epoch
         """,
     }

@@ -11,7 +11,7 @@ so they hold trivially at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Embedded (un-anchored) PII patterns.  Deliberately RE2-safe — no
@@ -147,6 +147,52 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         id_col, "chunk_idx",
         F.col("_c.n").alias("n_chunk_tokens"),
         F.col("_c.chunk").alias("chunk"))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   capacity: int = 512,
+                   n_shards: int = 8,
+                   shard_expr: Column | None = None) -> DataFrame:
+    """Contiguous concat-then-split packing of documents into
+    fixed-capacity context windows — the standard pre-training batch
+    layout: documents are laid end-to-end in a deterministic order and
+    the token stream is cut every ``capacity`` tokens.  Output is one
+    row per document: ``(id, shard, n_tokens, start_offset, pack_id,
+    straddles)`` where ``start_offset`` is the document's position in
+    its shard's concatenated token stream, ``pack_id =
+    floor(start_offset / capacity)`` is the window its FIRST token
+    lands in, and ``straddles`` marks documents cut by a window
+    boundary.
+
+    Sharding bounds the sequential portion: the running sum is a
+    window over ``shard`` ordered by ``id`` — one hash shuffle on the
+    shard key, then an in-partition sort + prefix sum.  At cluster
+    scale ``n_shards`` is sized to executor count (each shard is an
+    independent token stream, as in any sharded training corpus);
+    assignment defaults to ``id % n_shards`` so it is reshard-stable
+    and engine-portable, like :func:`hash_split`.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    # size(NULL) is -1 under legacy sizeOfNull; null docs carry 0 tokens
+    n = F.greatest(F.size(toks), F.lit(0)).cast("bigint")
+    shard = (shard_expr if shard_expr is not None
+             else F.pmod(F.col(id_col).cast("bigint"), F.lit(n_shards)))
+    base = df.select(F.col(id_col), shard.alias("shard"),
+                     n.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (base.withColumn("start_offset", start.cast("bigint"))
+                .withColumn("pack_id",
+                            F.floor(F.col("start_offset") / capacity)
+                             .cast("bigint"))
+                .withColumn("straddles",
+                            (F.col("start_offset") % capacity
+                             + F.col("n_tokens")) > capacity))
 
 
 def split_thresholds(weights: dict[str, float], seed: str = "") -> str:

@@ -478,3 +478,78 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
                  .filter(F.col("cosine") >= threshold)
                  .select(F.col("_ida").alias("id_a"),
                          F.col("_idb").alias("id_b"), "cosine"))
+
+
+# --- cluster resolution ----------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list — ``(id,
+    cluster_id)`` with ``cluster_id`` the smallest id in the
+    component.  Pairwise keep-first (dedup_corpus) silently merges
+    chains a-b, b-c without ever asserting a-c; cluster ids make the
+    transitive closure explicit so canonical selection, cluster-size
+    stats, and audit sampling are possible.
+
+    Min-label propagation with pointer jumping: labels start as the
+    node id; each round every node takes the min of its own label,
+    its neighbors' labels, AND its current label's label (path
+    halving), until a round changes nothing.  The jump step makes
+    convergence O(log diameter) instead of O(diameter) — a
+    million-node duplicate chain resolves in ~20 rounds, not a
+    million.  Each round is two equi-joins + one partial-aggregating
+    groupBy, the standard Spark CC shape.  ``localCheckpoint``
+    truncates lineage every round so the plan does not grow
+    superlinearly with iterations — at 10^12-row scale an uncut
+    25-round lineage would overwhelm the optimizer long before the
+    data hurts.
+
+    The per-round convergence probe is a driver-side count — inherent
+    to any fixpoint loop and proportional to rounds, not rows."""
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+                  .union(pairs.select(F.col(id_b).alias("src"),
+                                      F.col(id_a).alias("dst")))
+                  .distinct()
+                  .localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iters):
+        prop = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                     .groupBy(F.col("src").alias("id"))
+                     .agg(F.min("cluster_id").alias("_nbr")))
+        stepped = (labels.join(prop, "id", "left")
+                         .select("id",
+                                 F.least("cluster_id",
+                                         F.coalesce("_nbr", "cluster_id"))
+                                  .alias("cluster_id")))
+        # pointer jump: follow the label one hop (label's own label) —
+        # halves remaining path length every round
+        parents = stepped.select(F.col("id").alias("cluster_id"),
+                                 F.col("cluster_id").alias("_pp"))
+        nxt = (stepped.join(parents, "cluster_id", "left")
+                      .select("id",
+                              F.least("cluster_id",
+                                      F.coalesce("_pp", "cluster_id"))
+                               .alias("cluster_id"))
+                      .localCheckpoint(eager=False))
+        changed = (nxt.join(labels.withColumnRenamed("cluster_id", "_old"),
+                            "id")
+                      .filter(F.col("cluster_id") != F.col("_old"))
+                      .limit(1).count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", "cluster_id")
+
+
+def cluster_canonical(df: DataFrame, clusters: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduped corpus from cluster assignments: keep
+    exactly the canonical (minimum-id) member of every cluster plus
+    all unclustered rows.  Anti-join on the non-canonical id set —
+    same broadcast/AQE shape as :func:`dedup_corpus`, but correct
+    under transitivity by construction."""
+    drops = (clusters.filter(F.col("id") != F.col("cluster_id"))
+                     .select(F.col("id").alias(id_col)))
+    return df.join(drops, [id_col], "left_anti")

@@ -82,6 +82,42 @@ def psi(df: DataFrame, column: str, *, epoch_col: str = "epoch",
                   .orderBy("epoch"))
 
 
+def js_divergence(df: DataFrame, column: str, *, epoch_col: str = "epoch",
+                  baseline_epoch=None, n_buckets: int = 20) -> DataFrame:
+    """Jensen–Shannon divergence of ``column`` per epoch vs baseline —
+    the bounded, symmetric companion to :func:`psi` (JSD ∈ [0, ln 2];
+    PSI is unbounded and explodes on vanished categories, so
+    dashboards typically track both).
+
+    JSD(p, q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, on the
+    same smoothed bucket fractions and broadcast epoch×bucket grid as
+    PSI — two grouped aggs + tiny-dimension joins, nothing new at
+    scale."""
+    dtype = dict(df.dtypes)[column]
+    frac = _fractions(df, column, epoch_col, n_buckets, dtype)
+    if baseline_epoch is None:
+        baseline_epoch = df.agg(F.min(epoch_col)).first()[0]
+    base = (frac.filter(F.col("epoch") == F.lit(baseline_epoch))
+                .select("bucket", F.col("frac").alias("q")))
+    epochs = (frac.select("epoch").distinct()
+                  .filter(F.col("epoch") != F.lit(baseline_epoch)))
+    buckets = frac.select("bucket").distinct()
+    grid = epochs.crossJoin(F.broadcast(buckets))
+    joined = (grid.join(frac, ["epoch", "bucket"], "left")
+                  .join(F.broadcast(base), "bucket", "left"))
+    p = F.coalesce(F.col("frac"), F.lit(0.0)) + EPS
+    q = F.coalesce(F.col("q"), F.lit(0.0)) + EPS
+    m = (p + q) / 2
+    term = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    return (joined.groupBy("epoch")
+                  .agg(F.sum(term).alias("jsd"))
+                  .withColumn("column", F.lit(column))
+                  .withColumn("baseline_epoch",
+                              F.lit(baseline_epoch).cast("string"))
+                  .select("column", "epoch", "baseline_epoch", "jsd")
+                  .orderBy("epoch"))
+
+
 def ks_statistic(df: DataFrame, column: str, *, epoch_col: str = "epoch",
                  baseline_epoch=None, n_buckets: int = 200) -> DataFrame:
     """Approximate two-sample Kolmogorov–Smirnov statistic per epoch vs

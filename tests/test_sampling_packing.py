@@ -1,0 +1,232 @@
+"""Deterministic sampling, sequence packing, duplicate-cluster
+resolution, and JS drift (joi_spark.operators.{sampling,corpus,dedup,
+drift})."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from joi_spark.operators import corpus as CP
+from joi_spark.operators import dedup as DD
+from joi_spark.operators import drift as DR
+from joi_spark.operators import sampling as SP
+
+
+def _h8(seed: str, ident) -> str:
+    return hashlib.md5(f"{seed}:{ident}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(2000)],
+                                 "doc_id bigint")
+
+
+# --- hash / stratified sampling -------------------------------------------
+
+def test_hash_sample_matches_python_oracle(ids):
+    got = {r[0] for r in SP.hash_sample(ids, 0.25, seed="s1").collect()}
+    thr = SP.rate_threshold(0.25)
+    want = {i for i in range(2000) if _h8("s1", i) < thr}
+    assert got == want
+    assert 0.2 < len(got) / 2000 < 0.3
+
+
+def test_hash_sample_rate_one_keeps_all(ids):
+    assert SP.hash_sample(ids, 1.0).count() == 2000
+
+
+def test_hash_sample_stable_under_repartition(ids):
+    a = {r[0] for r in SP.hash_sample(ids, 0.1, seed="x").collect()}
+    b = {r[0] for r in
+         SP.hash_sample(ids.repartition(13), 0.1, seed="x").collect()}
+    assert a == b
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = SP.stratified_sample(df, "lang", {"en": 0.5, "de": 0.05},
+                               seed="s")
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 800 < by["en"] < 1200          # ~1000 of 2000
+    assert 50 < by.get("de", 0) < 200     # ~100 of 2000
+    # python parity on the en stratum
+    thr = SP.rate_threshold(0.5)
+    want = {i for i in range(0, 4000, 2) if _h8("s", i) < thr}
+    got = {r["doc_id"] for r in out.filter("lang = 'en'").collect()}
+    assert got == want
+
+
+def test_stratified_default_rate_drops_unlisted(spark):
+    df = spark.createDataFrame([(i, "fr") for i in range(100)],
+                               "doc_id bigint, lang string")
+    assert SP.stratified_sample(df, "lang", {"en": 1.0}).count() == 0
+
+
+def test_weighted_topk_matches_python_oracle(spark):
+    rows = [(i, 1.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, weight double")
+    got = SP.weighted_sample_topk(df, "weight", 20, seed="w").collect()
+    assert len(got) == 20
+    assert [r["rank"] for r in got] == list(range(1, 21))
+
+    def pri(i, w):
+        u = int(_h8("w", i), 16) / 16 ** 8
+        return u ** (1.0 / w)
+
+    want = sorted(((pri(i, w), -i) for i, w in rows), reverse=True)[:20]
+    want_ids = [-x[1] for x in want]
+    assert [r["doc_id"] for r in got] == want_ids
+
+
+def test_weighted_topk_skips_nonpositive_weights(spark):
+    df = spark.createDataFrame([(0, 0.0), (1, -2.0), (2, None), (3, 5.0)],
+                               "doc_id bigint, weight double")
+    got = SP.weighted_sample_topk(df, "weight", 10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_weighted_topk_favors_heavy_weights(spark):
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, weight double")
+    got = SP.weighted_sample_topk(df, "weight", 50, seed="z").collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    assert heavy > 30  # 50 heavy docs at 100× weight dominate the draw
+
+
+def test_hex_uniform_sql_duckdb_parity():
+    duckdb = pytest.importorskip("duckdb")
+    expr = SP.hex_uniform_sql("md5('k:' || CAST(i AS VARCHAR))")
+    rows = duckdb.sql(
+        f"SELECT i, {expr} AS u FROM range(50) t(i)").fetchall()
+    for i, u in rows:
+        want = int(hashlib.md5(f"k:{i}".encode()).hexdigest()[:8], 16) \
+            / 16 ** 8
+        assert abs(u - want) < 1e-15
+
+
+# --- sequence packing ------------------------------------------------------
+
+def test_pack_sequences_offsets_and_straddles(spark):
+    rows = [(0, "a b c"), (1, "d e f g"), (2, "h i"),
+            (3, "j k l m n o")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           CP.pack_sequences(df, capacity=5, n_shards=1).collect()}
+    # stream: 3 + 4 + 2 + 6 tokens, capacity 5
+    assert out[0]["start_offset"] == 0 and out[0]["pack_id"] == 0
+    assert out[1]["start_offset"] == 3 and out[1]["pack_id"] == 0
+    assert out[1]["straddles"]            # 3..7 crosses the 5 boundary
+    assert out[2]["start_offset"] == 7 and out[2]["pack_id"] == 1
+    assert not out[2]["straddles"]
+    assert out[3]["start_offset"] == 9 and out[3]["pack_id"] == 1
+    assert out[3]["straddles"]
+
+
+def test_pack_sequences_sharding_isolates_streams(spark):
+    rows = [(i, "one two three four") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = CP.pack_sequences(df, capacity=8, n_shards=2).collect()
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 2
+    # within each shard offsets restart at 0 and step by 4
+    for shard in (0, 1):
+        offs = sorted(r["start_offset"] for r in out
+                      if r["shard"] == shard)
+        assert offs == [0, 4, 8, 12, 16]
+
+
+def test_pack_sequences_empty_and_null_docs(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, ""), (2, None), (3, "c")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           CP.pack_sequences(df, capacity=4, n_shards=1).collect()}
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    assert out[3]["start_offset"] == 2  # empties contribute no tokens
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    rows = [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, CP.pack_sequences(df, capacity=32).collect()))
+    b = sorted(map(tuple,
+                   CP.pack_sequences(df.repartition(17), capacity=32)
+                     .collect()))
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_capacity(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        CP.pack_sequences(df, capacity=0)
+
+
+# --- duplicate clusters ----------------------------------------------------
+
+def test_dedup_clusters_chain_closes_transitively(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster_id"]
+           for r in DD.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_path_worst_case(spark):
+    # a 30-node path needs many propagation rounds — exercises the
+    # fixpoint loop + lineage checkpointing, diameter ≫ 1
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "id_a bigint, id_b bigint")
+    got = DD.dedup_clusters(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == 31
+
+
+def test_cluster_canonical_keeps_min_and_unclustered(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)],
+                                 "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a bigint, id_b bigint")
+    clusters = DD.dedup_clusters(pairs)
+    kept = sorted(r["doc_id"] for r in
+                  DD.cluster_canonical(docs, clusters).collect())
+    assert kept == [0, 3, 4]  # 0 canon of {0,1,2}; 3 untouched; 4 of {4,5}
+
+
+# --- JS divergence ---------------------------------------------------------
+
+def test_js_divergence_zero_on_identical(spark):
+    rows = [(e, v) for e in (0, 1) for v in ("a", "a", "b", "c")]
+    df = spark.createDataFrame(rows, "epoch int, cat string")
+    r = DR.js_divergence(df, "cat").collect()
+    assert len(r) == 1
+    assert abs(r[0]["jsd"]) < 1e-4
+
+
+def test_js_divergence_matches_hand_computation(spark):
+    # epoch 0: a×3 b×1  (p = .75/.25); epoch 1: a×1 b×3 (q = .25/.75)
+    rows = ([(0, "a")] * 3 + [(0, "b")] +
+            [(1, "a")] + [(1, "b")] * 3)
+    df = spark.createDataFrame(rows, "epoch int, cat string")
+    got = DR.js_divergence(df, "cat").collect()[0]["jsd"]
+    eps = DR.EPS
+    want = 0.0
+    for p, q in ((0.75 + eps, 0.25 + eps), (0.25 + eps, 0.75 + eps)):
+        m = (p + q) / 2
+        want += (p * math.log(p / m) + q * math.log(q / m)) / 2
+    assert abs(got - want) < 1e-9
+    assert 0.0 < got < math.log(2) + 1e-9
+
+
+def test_js_divergence_bounded_on_disjoint(spark):
+    rows = [(0, "a")] * 5 + [(1, "b")] * 5
+    df = spark.createDataFrame(rows, "epoch int, cat string")
+    got = DR.js_divergence(df, "cat").collect()[0]["jsd"]
+    # disjoint supports approach ln 2 (smoothing keeps it finite)
+    assert math.log(2) - 0.01 < got <= math.log(2) + 1e-9
