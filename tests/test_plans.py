@@ -163,3 +163,34 @@ def test_ivf_topk_plan_is_inverted_list_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "list_id" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from joi_spark.operators import corpus as CP
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(CP.pack_sequences(df))
+    # one hash Exchange on the shard key feeds the prefix-sum window;
+    # a second shuffle would mean the window lost the partitioning
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_stratified_sample_is_map_only(spark):
+    from joi_spark.operators import sampling as SP
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(SP.stratified_sample(df, "lang", {"en": 0.5, "de": 0.1})
+              .select("doc_id", "lang"))
+    assert "Exchange" not in p  # pure filter — no shuffle at any scale
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    assert "doc_id" in scan and "lang" in scan
+
+
+def test_weighted_topk_uses_partial_topk_not_global_sort(spark):
+    from joi_spark.operators import sampling as SP
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = _plan(SP.weighted_sample_topk(df, "o_totalprice", 50,
+                                      id_col="o_orderkey"))
+    # per-partition heap + driver merge of k rows; a Sort+Exchange
+    # here would materialize a global sort of the whole corpus
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
