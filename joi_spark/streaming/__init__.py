@@ -1,3 +1,4 @@
-from joi_spark.streaming.validate import stream_verdicts, stream_violations
+from joi_spark.streaming.validate import (stream_sessions, stream_verdicts,
+                                          stream_violations)
 
-__all__ = ["stream_violations", "stream_verdicts"]
+__all__ = ["stream_violations", "stream_verdicts", "stream_sessions"]

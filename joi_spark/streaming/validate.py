@@ -130,3 +130,37 @@ def stream_stateful_sequence(stream_df: DataFrame, *,
     return (stream_df.groupBy(conv_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_sessions(stream_df: DataFrame, *,
+                    key_col: str = "user_id",
+                    event_time_col: str = "ts",
+                    gap: str = "30 minutes",
+                    watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization — the Structured Streaming
+    realization of the batch ``operators.dataset.sessionize`` path,
+    using Spark's NATIVE ``session_window`` (dynamic-gap merging in
+    the state store) instead of the batch lag-window trick, which a
+    stream cannot express (no full-partition sort over unbounded
+    input).
+
+    Emits one row per closed session: ``(key, session_start,
+    session_end, n_events, first_ts, last_ts)``.  A session closes —
+    and its row is appended — once the watermark passes its end + gap;
+    state per key is one open session window, bounded by the watermark
+    horizon, so this runs indefinitely at any key cardinality.
+
+    Skew note: like all keyed streaming state, one key's session
+    lives on one task; hot keys bound micro-batch latency, not
+    correctness (cap batch size upstream via rate limits)."""
+    return (stream_df
+            .withWatermark(event_time_col, watermark_delay)
+            .groupBy(F.session_window(event_time_col, gap).alias("session"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(event_time_col).alias("first_ts"),
+                 F.max(event_time_col).alias("last_ts"))
+            .select(key_col,
+                    F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "n_events", "first_ts", "last_ts"))

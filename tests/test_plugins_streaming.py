@@ -223,3 +223,36 @@ def test_stream_stateful_sequence_state_crosses_batches(spark, stream_dirs):
     assert ("c1", 0, "dataset.sort") in got
     assert ("c1", 1, "dataset.sort") in got
     assert not any(c == "c2" for c, _, _ in got)
+
+
+def test_stream_sessions_native_session_window(spark, stream_dirs):
+    """Native session_window sessionization: two >gap-separated bursts
+    per user become two closed sessions once the watermark (driven by
+    a far-future sentinel) passes them."""
+    import datetime as dt
+    src, ckpt = stream_dirs
+    from joi_spark.streaming import stream_sessions
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        ("a", m(0)), ("a", m(5)),          # session 1: 0–5
+        ("a", m(120)), ("a", m(125)),      # session 2: 120–125
+        ("b", m(1)),                       # session 3: single event
+        ("a", m(600)),                     # sentinel advances watermark
+    ]
+    batch = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_sessions(stream, gap="30 minutes",
+                          watermark_delay="1 minute")
+    q = (out.writeStream.format("memory").queryName("sess")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess").collect()}
+    # the sentinel's own session is still open (watermark hasn't
+    # passed it) — exactly the three earlier sessions have closed
+    assert got == {("a", m(0), 2), ("a", m(120), 2), ("b", m(1), 1)}
