@@ -777,6 +777,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(pairs).orderBy("id")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus vocabulary top-k: explode → partial-agg count →
+    TakeOrderedAndProject heap (joi_spark.operators.text.vocab_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_topk(docs, k=200, min_count=2)
+
+
 def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence of the priority mix year-over-year —
     the bounded symmetric companion to PSI
@@ -1094,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk": q_weighted_topk,
         "dedup_clusters": q_dedup_clusters,
         "js_drift": q_js_drift,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1727,6 +1735,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.u FROM e JOIN reach r ON e.b = r.v)
             SELECT v AS id, min(u) AS cluster_id
             FROM reach GROUP BY v
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (SELECT unnest(list_filter(
+                              string_split_regex(trim(lower(text)),
+                                                 '\s+'),
+                              x -> x <> '')) AS token
+                          FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM toks GROUP BY 1 HAVING count(*) >= 2),
+            r AS (SELECT token, n,
+                         CAST(row_number() OVER
+                              (ORDER BY n DESC, token ASC) AS INT)
+                             AS rank
+                  FROM c)
+            SELECT token, n, rank FROM r WHERE rank <= 200
         """,
         "js_drift": """
             WITH d AS (SELECT CAST(year(o_orderdate) AS INT) AS epoch,

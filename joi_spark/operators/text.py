@@ -15,7 +15,7 @@ join needed at this list size).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
@@ -302,3 +302,32 @@ def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 8) -> DataFrame:
     return df.select(F.col(id_col),
                      fingerprint(F.col(text_col), k).alias("fingerprint"))
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 1000,
+               *, lowercase: bool = True,
+               min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens
+    with counts and frequency ranks — the tokenizer-training /
+    coverage-analysis prep step: ``(token, n, rank)``, rank 1 =
+    most frequent, count-desc then token-asc so ties are
+    deterministic.
+
+    Explode-then-count with map-side partial aggregation (token
+    counts combine before the shuffle, so the exchanged rows are
+    bounded by DISTINCT tokens per partition, not corpus tokens);
+    the top-k tail is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition heaps, no global sort.
+    At 100 TB the only state that matters is distinct-token
+    cardinality, which Zipf keeps manageable; ``min_count`` prunes
+    the hapax tail before the heap."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(tokens(col), lambda x: x != F.lit(""))
+    counts = (df.select(F.explode(toks).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= min_count))
+    ranked = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+                  .select("token", "n", "rank"))

@@ -230,3 +230,29 @@ def test_js_divergence_bounded_on_disjoint(spark):
     got = DR.js_divergence(df, "cat").collect()[0]["jsd"]
     # disjoint supports approach ln 2 (smoothing keeps it finite)
     assert math.log(2) - 0.01 < got <= math.log(2) + 1e-9
+
+
+# --- vocabulary ------------------------------------------------------------
+
+def test_vocab_topk_counts_and_ranks(spark):
+    from joi_spark.operators import text as TX
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "THE cat runs"), (2, None),
+         (3, "")],
+        "doc_id bigint, text string")
+    got = {r["token"]: (r["n"], r["rank"])
+           for r in TX.vocab_topk(df, k=10).collect()}
+    assert got["the"] == (3, 1)       # lowercased merge of THE/the
+    assert got["cat"] == (2, 2)
+    # ties broken token-asc deterministically
+    singles = [t for t, (n, _) in got.items() if n == 1]
+    ranks = [got[t][1] for t in sorted(singles)]
+    assert ranks == sorted(ranks)
+    assert "" not in got              # null/empty docs contribute nothing
+
+
+def test_vocab_topk_min_count_prunes_hapax(spark):
+    from joi_spark.operators import text as TX
+    df = spark.createDataFrame([(0, "a a b")], "doc_id bigint, text string")
+    got = TX.vocab_topk(df, k=10, min_count=2).collect()
+    assert [(r["token"], r["n"]) for r in got] == [("a", 2)]
