@@ -23,6 +23,7 @@ from joi_spark.operators import drift as DR
 from joi_spark.operators import multimodal as MM
 from joi_spark.operators import sampling as SP
 from joi_spark.operators import similarity as SIM
+from joi_spark.operators import sketches as SKT
 from joi_spark.operators import stats as ST
 from joi_spark.operators import text as TX
 
@@ -227,6 +228,75 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DR.ks_statistic(orders, "o_totalprice", epoch_col="epoch",
                           n_buckets=200)
     return out.withColumn("ks", F.round("ks", 6))
+
+
+def q_ref_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK resolution through a broadcast Bloom filter ≙ link()
+    (reference: lib/types/link.js:35-59) for dimensions too large to
+    broadcast whole — zero shuffle of the fact table
+    (operators/sketches.py).  The filter is sized so the one-sided
+    miss probability is ≪ 1e-9 at this key count, so the exact
+    anti-join SQL is a valid value oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1900)
+    v = SKT.referential_bloom(li, "l_partkey", dim, "p_partkey",
+                              order_by=["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", *_VCOLS)
+
+
+def q_hll_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-epoch HLL cardinality manifest (north_rule:
+    "distinct/HLL cardinality"): the ALL row re-merges the per-epoch
+    sketches WITHOUT rescanning the data.  ``n_exact`` is the exact
+    distinct count (oracle-checkable); ``within_tol`` asserts the
+    sketch estimate lands within 5% of it — if an estimate drifted,
+    the boolean would flip and the value hash would mismatch."""
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumn("epoch", F.year("o_orderdate"))
+    man = SKT.cardinality_manifest(orders, ["o_custkey"],
+                                   partition_col="epoch")
+    per_est = man.select(F.col("partition").cast("string").alias("epoch"),
+                         "column", "estimate")
+    glob_est = SKT.cardinality_merge(man) \
+        .select(F.lit("ALL").alias("epoch"), "column", "estimate")
+    est = per_est.unionByName(glob_est)
+    per_exact = (orders.groupBy(F.col("epoch").cast("string").alias("epoch"))
+                       .agg(F.countDistinct("o_custkey").alias("n_exact")))
+    glob_exact = (orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+                        .select(F.lit("ALL").alias("epoch"), "n_exact"))
+    exact = per_exact.unionByName(glob_exact)
+    return (est.join(F.broadcast(exact), "epoch")
+               .select("column", "epoch",
+                       F.col("n_exact").cast("long").alias("n_exact"),
+                       (F.abs(F.col("estimate").cast("double")
+                              - F.col("n_exact"))
+                        <= 0.05 * F.col("n_exact")).alias("within_tol"))
+               .orderBy("epoch"))
+
+
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift of the price distribution per shipping year
+    vs baseline — quantile-function integral over a 20-point midpoint
+    grid (operators/sketches.py).  exact=True (sort-based percentile)
+    keeps it DuckDB quantile_cont-reproducible; the production path is
+    the KLL approx_percentile sketch."""
+    li = _t(spark, sf_dir, "lineitem") \
+        .withColumn("epoch", F.year("l_shipdate"))
+    return SKT.quantile_drift(li, "l_extendedprice", exact=True)
+
+
+def q_stats_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch anomaly screen over the stats manifest: z-scores of
+    per-epoch mean/null-fraction against the across-epoch distribution
+    (operators/stats.py).  Cost after the single aggregation pass is
+    independent of row count."""
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumn("epoch", F.year("o_orderdate"))
+    out = ST.epoch_anomalies(orders, ["o_totalprice"], epoch_col="epoch",
+                             z_threshold=1.5)
+    return out.select("column", "epoch", "metric",
+                      F.round("value", 2).alias("value"),
+                      F.round("z", 4).alias("z"), "flagged")
 
 
 def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "js_drift": q_js_drift,
         "vocab_topk": q_vocab_topk,
+        "ref_bloom": q_ref_bloom,
+        "hll_manifest": q_hll_manifest,
+        "quantile_drift": q_quantile_drift,
+        "stats_anomaly": q_stats_anomaly,
     }
 
 
@@ -1782,5 +1856,82 @@ def oracle_sql() -> dict[str, str]:
                               + q * ln(q / ((p + q) / 2))) / 2), 6)
                        AS jsd
             FROM j GROUP BY epoch ORDER BY epoch
+        """,
+        # same exact anti-join as ds_referential: the Bloom path's
+        # one-sided error is sized below 1e-9 here, so exact SQL is a
+        # valid value oracle for it
+        "ref_bloom": """
+            SELECT l_orderkey, l_linenumber,
+                   'dataset.link' AS code,
+                   '"l_partkey" contains an invalid value' AS message,
+                   'error' AS severity
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_partkey >= 1900
+        """,
+        # n_exact is the real cross-engine check; within_tol=TRUE
+        # asserts the Spark-side HLL estimate landed within 5% of it
+        # (a drifted sketch would flip the boolean -> hash mismatch)
+        "hll_manifest": """
+            WITH per AS (SELECT 'o_custkey' AS "column",
+                                CAST(CAST(year(o_orderdate) AS INT)
+                                     AS VARCHAR) AS epoch,
+                                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                                    AS n_exact
+                         FROM orders GROUP BY 2),
+            tot AS (SELECT 'o_custkey' AS "column", 'ALL' AS epoch,
+                           CAST(count(DISTINCT o_custkey) AS BIGINT)
+                               AS n_exact
+                    FROM orders)
+            SELECT "column", epoch, n_exact, TRUE AS within_tol
+            FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+            ORDER BY epoch
+        """,
+        "quantile_drift": """
+            WITH d AS (SELECT CAST(year(l_shipdate) AS INT) AS epoch,
+                              CAST(l_extendedprice AS DOUBLE) AS v
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            per AS (SELECT epoch,
+                           quantile_cont(v, [0.025,0.075,0.125,0.175,0.225,
+                                             0.275,0.325,0.375,0.425,0.475,
+                                             0.525,0.575,0.625,0.675,0.725,
+                                             0.775,0.825,0.875,0.925,0.975])
+                               AS qs
+                    FROM d GROUP BY epoch),
+            long AS (SELECT epoch, generate_subscripts(qs, 1) AS qi,
+                            unnest(qs) AS q
+                     FROM per),
+            base AS (SELECT qi, q AS qb FROM long
+                     WHERE epoch = (SELECT min(epoch) FROM long))
+            SELECT 'l_extendedprice' AS "column", l.epoch,
+                   CAST((SELECT min(epoch) FROM long) AS VARCHAR)
+                       AS baseline_epoch,
+                   round(avg(abs(l.q - b.qb)), 6) AS w1
+            FROM long l JOIN base b USING (qi)
+            WHERE l.epoch <> (SELECT min(epoch) FROM long)
+            GROUP BY l.epoch ORDER BY l.epoch
+        """,
+        "stats_anomaly": """
+            WITH wide AS (SELECT CAST(year(o_orderdate) AS INT) AS epoch,
+                                 avg(CAST(o_totalprice AS DOUBLE)) AS m,
+                                 avg(CASE WHEN o_totalprice IS NULL
+                                          THEN 1.0 ELSE 0.0 END) AS nf
+                          FROM orders GROUP BY 1),
+            long AS (SELECT epoch, 'mean' AS metric, m AS value FROM wide
+                     UNION ALL
+                     SELECT epoch, 'null_frac', nf FROM wide),
+            zz AS (SELECT epoch, metric, value,
+                          CASE WHEN stddev_samp(value)
+                                        OVER (PARTITION BY metric) > 0
+                               THEN (value - avg(value)
+                                         OVER (PARTITION BY metric))
+                                    / stddev_samp(value)
+                                         OVER (PARTITION BY metric)
+                               ELSE 0.0 END AS z
+                   FROM long)
+            SELECT 'o_totalprice' AS "column", epoch, metric,
+                   round(round(value, 6), 2) AS value,
+                   round(round(z, 6), 4) AS z,
+                   abs(round(z, 6)) > 1.5 AS flagged
+            FROM zz ORDER BY metric, epoch
         """,
     }

@@ -147,3 +147,46 @@ def stats_manifest(df: DataFrame, partition_col: str,
                         F.explode(F.array(*stacks)).alias("s"))
                 .select(partition_col, "s.*")
                 .orderBy(partition_col, "column"))
+
+
+def epoch_anomalies(df: DataFrame, columns: Sequence[str], *,
+                    epoch_col: str = "epoch", z_threshold: float = 3.0,
+                    round_to: int = 6) -> DataFrame:
+    """Cross-epoch anomaly screen over the stats manifest: per-column
+    per-epoch mean and null fraction, z-scored against the distribution
+    of that metric ACROSS epochs — flags the epoch whose profile jumps
+    (ingestion bug, schema drift upstream, silent unit change).
+
+    One partial-aggregating pass over the data produces the tiny
+    (epoch × column × metric) table; the z-scores are windows over
+    that table, so cost is independent of row count.  Epochs where the
+    across-epoch stddev is 0 (metric constant) are never flagged.
+    Output: ``(column, epoch, metric, value, z, flagged)``.
+    """
+    from pyspark.sql import Window
+    columns = list(columns)
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.avg(col.cast("double")).alias(f"{c}__mean"),
+            F.avg(col.isNull().cast("double")).alias(f"{c}__null_frac"),
+        ]
+    wide = df.groupBy(F.col(epoch_col).alias("epoch")).agg(*aggs)
+    stacks = []
+    for c in columns:
+        for metric in ("mean", "null_frac"):
+            stacks.append(F.struct(
+                F.lit(c).alias("column"), F.lit(metric).alias("metric"),
+                F.col(f"{c}__{metric}").cast("double").alias("value")))
+    long = (wide.select("epoch", F.explode(F.array(*stacks)).alias("s"))
+                .select("epoch", "s.*"))
+    w = Window.partitionBy("column", "metric")
+    z = F.when(F.stddev_samp("value").over(w) > 0,
+               (F.col("value") - F.avg("value").over(w))
+               / F.stddev_samp("value").over(w)).otherwise(F.lit(0.0))
+    return (long.withColumn("z", F.round(z, round_to))
+                .withColumn("flagged", F.abs(F.col("z")) > z_threshold)
+                .withColumn("value", F.round("value", round_to))
+                .select("column", "epoch", "metric", "value", "z", "flagged")
+                .orderBy("column", "metric", "epoch"))
