@@ -435,6 +435,23 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, threshold=0.8)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index near-dup detection (operators/dedup.py
+    incremental MinHash index): the corpus (doc_id % 3 != 0) is
+    indexed ONCE to parquet; the batch (doc_id % 3 == 0) finds its
+    pairs against the stored bands/sizes/shingles without re-reading
+    corpus text.  Output equals the exact n-gram pair enumeration
+    restricted to pairs touching the batch."""
+    import hashlib
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/joi_mh_index_{tag}"
+    DD.build_minhash_index(corpus, path)
+    return DD.incremental_minhash_pairs(batch, path, threshold=0.8)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — md5-based bit hash, so the DuckDB
     oracle reproduces the exact 64-bit signatures."""
@@ -1176,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_manifest": q_hll_manifest,
         "quantile_drift": q_quantile_drift,
         "stats_anomaly": q_stats_anomaly,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1933,5 +1951,31 @@ def oracle_sql() -> dict[str, str]:
                    round(round(z, 6), 4) AS z,
                    abs(round(z, 6)) > 1.5 AS flagged
             FROM zz ORDER BY metric, epoch
+        """,
+        # exact pair enumeration restricted to pairs touching the batch
+        # (doc_id % 3 = 0) — checks both the banding recall of the
+        # incremental path and its scope classification
+        "incremental_dedup": r"""
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)), '\s+') AS tok
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(tok) - 2),
+                              i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS s
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            j AS (SELECT ida, idb, c / (sa.n + sb.n - c) AS jac
+                  FROM common
+                  JOIN sizes sa ON ida = sa.doc_id
+                  JOIN sizes sb ON idb = sb.doc_id)
+            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard,
+                   CASE WHEN ida % 3 = 0 AND idb % 3 = 0 THEN 'new_new'
+                        ELSE 'new_corpus' END AS scope
+            FROM j
+            WHERE jac >= 0.8 AND (ida % 3 = 0 OR idb % 3 = 0)
         """,
     }

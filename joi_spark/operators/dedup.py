@@ -84,11 +84,18 @@ def dedup_corpus(df: DataFrame, pairs: DataFrame,
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a document as an array column.
-    Higher-order transform over the token array — no UDF."""
+    Higher-order transform over the token array — no UDF.
+
+    Documents shorter than ``n`` tokens (or NULL) yield an empty array
+    — without the guard, ``sequence(0, negative)`` DESCENDS and the
+    slice start hits 0, a runtime error that would surface on the
+    first short/empty document in a real corpus."""
     toks = tokens(F.lower(col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -553,3 +560,142 @@ def cluster_canonical(df: DataFrame, clusters: DataFrame,
     drops = (clusters.filter(F.col("id") != F.col("cluster_id"))
                      .select(F.col("id").alias(id_col)))
     return df.join(drops, [id_col], "left_anti")
+
+
+# --- incremental MinHash index ---------------------------------------------
+#
+# The 100 TB dedup workflow is never one-shot: a corpus is deduped once,
+# then every ingestion batch must be checked against it WITHOUT
+# re-shingling 100 TB of history.  The index persists exactly the three
+# artifacts candidate generation and verification need:
+#
+#   bands/    (id, band, bh)  - LSH band hashes      (candidate equi-join)
+#   sizes/    (id, n)         - shingle-set sizes    (Jaccard denominator)
+#   shingles/ (id, shash)     - xxhash64'd shingles  (exact-overlap verify)
+#
+# Shingles are stored hashed (8 bytes vs the raw n-gram string); a
+# 64-bit collision altering a common-count requires two distinct
+# shingles of the SAME candidate pair to collide - probability
+# ~ |union|^2 / 2^64 per pair, negligible and deterministic.  At
+# production scale write each table bucketed on its join key
+# ((band, bh) / id / shash) so batch joins shuffle only the batch side.
+
+def _minhash_artifacts(df: DataFrame, id_col: str, text_col: str,
+                       n: int, num_perm: int, bands: int):
+    """(bands_df, sizes_df, shingles_df) for one corpus or batch -
+    single shingle pass, same aggregation shape as minhash_lsh_pairs."""
+    r = num_perm // bands
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    idx = idx.select("id", F.xxhash64("_sh").alias("shash"),
+                     F.col("_sh"))
+    mins = [F.min(F.xxhash64(F.lit(p), F.col("_sh"))).alias(f"_m{p}")
+            for p in range(num_perm)]
+    sigs = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *mins)
+    banded = (sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col(f"_m{b * r + i}") for i in range(r)])
+                      .alias("bh"))
+            for b in range(bands)])).alias("_b"))
+        .select("id", F.col("_b.band").alias("band"),
+                F.col("_b.bh").alias("bh")))
+    return banded, sigs.select("id", "n"), idx.select("id", "shash")
+
+
+def build_minhash_index(df: DataFrame, path: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, num_perm: int = 64,
+                        bands: int = 16) -> None:
+    """Materialize the persistent MinHash index of a corpus at
+    ``path`` (see module comment for layout).  One shingle pass over
+    the corpus; afterwards batches join against the index and the
+    corpus text is never read again."""
+    banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
+                                              n, num_perm, bands)
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+    shing.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def append_minhash_index(df: DataFrame, path: str, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, num_perm: int = 64,
+                         bands: int = 16) -> None:
+    """Fold a new batch into an existing index (append-only parquet
+    writes - the incremental update after the batch passed dedup)."""
+    banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
+                                              n, num_perm, bands)
+    banded.write.mode("append").parquet(f"{path}/bands")
+    sizes.write.mode("append").parquet(f"{path}/sizes")
+    shing.write.mode("append").parquet(f"{path}/shingles")
+
+
+def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              num_perm: int = 64, bands: int = 16,
+                              threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs a new batch introduces - against the
+    persisted corpus index AND within the batch itself - without
+    touching corpus text.  Returns ``(id_a, id_b, jaccard, scope)``
+    with ``scope`` ∈ {'new_corpus', 'new_new'} and ``id_a < id_b``.
+
+    Candidates: the batch's band hashes equi-join the union of the
+    stored band table and the batch's own bands (the batch side is
+    the small one - at steady state this is a broadcast against each
+    index partition).  Verification: exact Jaccard from hashed-shingle
+    overlap, sizes from the index - identical semantics to
+    :func:`minhash_lsh_pairs` with ``verify=True``.
+    """
+    from pyspark import StorageLevel
+    spark = new_df.sparkSession
+    nb, ns, nsh = _minhash_artifacts(new_df, id_col, text_col,
+                                     n, num_perm, bands)
+    nb = nb.persist(StorageLevel.MEMORY_AND_DISK)
+    nsh = nsh.persist(StorageLevel.MEMORY_AND_DISK)
+    new_ids = nb.select("id").distinct()
+    ib = spark.read.parquet(f"{index_path}/bands")
+    isz = spark.read.parquet(f"{index_path}/sizes")
+    ish = spark.read.parquet(f"{index_path}/shingles")
+    all_bands = ib.unionByName(nb)
+    cands = (nb.select(F.col("id").alias("_ida"), "band", "bh")
+               .join(all_bands.select(F.col("id").alias("_idb"),
+                                      "band", "bh"),
+                     ["band", "bh"])
+               .filter(F.col("_ida") != F.col("_idb"))
+               .select(F.least("_ida", "_idb").alias("_ida"),
+                       F.greatest("_ida", "_idb").alias("_idb"))
+               .distinct())
+    all_sh = ish.unionByName(nsh)
+    all_sz = isz.unionByName(ns)
+    ca = cands.join(all_sh.withColumnRenamed("id", "_ida"), "_ida") \
+              .select("_ida", "_idb", "shash")
+    cb = all_sh.select(F.col("id").alias("_idb"), "shash")
+    common = (ca.join(cb, ["_idb", "shash"])
+                .groupBy("_ida", "_idb")
+                .agg(F.count(F.lit(1)).alias("_common")))
+    out = (common
+           .join(all_sz.select(F.col("id").alias("_ida"),
+                               F.col("n").alias("_na")), "_ida")
+           .join(all_sz.select(F.col("id").alias("_idb"),
+                               F.col("n").alias("_nb")), "_idb")
+           .withColumn("jaccard",
+                       F.col("_common") /
+                       (F.col("_na") + F.col("_nb") - F.col("_common")))
+           .filter(F.col("jaccard") >= threshold))
+    is_new = new_ids.select(F.col("id").alias("_ida"),
+                            F.lit(True).alias("_new_a"))
+    is_new_b = new_ids.select(F.col("id").alias("_idb"),
+                              F.lit(True).alias("_new_b"))
+    out = (out.join(is_new, "_ida", "left").join(is_new_b, "_idb", "left")
+              .withColumn("scope",
+                          F.when(F.coalesce("_new_a", F.lit(False))
+                                 & F.coalesce("_new_b", F.lit(False)),
+                                 "new_new").otherwise("new_corpus")))
+    return out.select(F.col("_ida").alias("id_a"),
+                      F.col("_idb").alias("id_b"),
+                      F.round("jaccard", 6).alias("jaccard"), "scope")

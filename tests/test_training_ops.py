@@ -488,3 +488,70 @@ def test_train_ivf_centroids_improves_or_holds_recall(spark):
     # trained quantizer at nprobe=2 on 4 tight clusters: near-perfect
     assert recall(trained) >= len(exact) * 3 // 4
     df.unpersist()
+
+
+# --- incremental MinHash index ---------------------------------------------
+
+def test_incremental_matches_full_restricted(docs, tmp_path):
+    """Index the 'corpus' half, stream the 'batch' half: pairs must be
+    exactly the full-run pairs that touch the batch, scoped."""
+    corpus = docs.filter("doc_id IN (0, 2, 3)")
+    batch = docs.filter("doc_id IN (1, 4, 5)")
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(corpus, path)
+    got = {(r["id_a"], r["id_b"]): (r["jaccard"], r["scope"]) for r in
+           DD.incremental_minhash_pairs(batch, path,
+                                        threshold=0.5).collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    want = {k: v for k, v in full.items() if k[0] in (1, 4, 5)
+            or k[1] in (1, 4, 5)}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[(0, 1)][1] == "new_corpus"   # batch doc vs indexed doc
+    assert all(s in ("new_corpus", "new_new") for _, s in got.values())
+
+
+def test_incremental_append_then_requery(docs, tmp_path):
+    """After append_minhash_index, a later batch sees the earlier one
+    as corpus — the steady-state ingestion loop."""
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(docs.filter("doc_id IN (2, 3)"), path)
+    DD.append_minhash_index(docs.filter("doc_id = 0"), path)
+    got = {(r["id_a"], r["id_b"]): r["scope"] for r in
+           DD.incremental_minhash_pairs(docs.filter("doc_id = 1"), path,
+                                        threshold=0.5).collect()}
+    # doc 1 must hit the APPENDED doc 0 (exact dup) and the originally
+    # indexed doc 2 (near dup) — both as corpus
+    assert got == {(0, 1): "new_corpus", (1, 2): "new_corpus"}
+
+
+def test_incremental_corpus_text_never_read(docs, tmp_path, spark):
+    """The scale contract: the batch query plan reads only the index
+    parquet and the batch rows — no corpus text scan."""
+    corpus = docs.filter("doc_id IN (0, 2, 3)")
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(corpus, path)
+    out = DD.incremental_minhash_pairs(docs.filter("doc_id = 1"), path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, "expected parquet scans of the index"
+    assert all("idx" in s for s in scans), \
+        "every file scan must hit the index, never source text"
+
+
+def test_shingle_ops_survive_short_and_null_docs(spark, tmp_path):
+    """Regression: docs with < n tokens (or NULL text) must shingle to
+    empty, not crash slice(start=0) via Spark's descending sequence."""
+    rows = [(0, "one two"), (1, ""), (2, None),
+            (3, "the cat sat on the mat and looked at the dog"),
+            (4, "the cat sat on the mat and looked at the dog")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             DD.minhash_lsh_pairs(df, threshold=0.8).collect()}
+    assert pairs == {(3, 4)}
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(df.filter("doc_id < 4"), path)
+    inc = {(r["id_a"], r["id_b"]) for r in
+           DD.incremental_minhash_pairs(df.filter("doc_id = 4"),
+                                        path).collect()}
+    assert inc == {(3, 4)}
