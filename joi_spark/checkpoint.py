@@ -45,6 +45,8 @@ class CheckpointedRun:
         self.hash = manifest_hash(schema)
         self.manifest_path = os.path.join(root, "manifest")
         self.violations_path = os.path.join(root, "violations")
+        self.stats_path = os.path.join(root, "stats")
+        self.sketches_path = os.path.join(root, "sketches")
 
     # -- resume bookkeeping -------------------------------------------
     def completed_partitions(self, spark: SparkSession) -> DataFrame | None:
@@ -65,20 +67,32 @@ class CheckpointedRun:
         return df.join(F.broadcast(keys), [self.partition_col], "left_anti")
 
     # -- one run ------------------------------------------------------
-    def run(self, df: DataFrame, **validate_kw) -> dict:
-        """Validate all pending partitions; write violations, THEN the
-        manifest.  Returns a summary dict (partitions completed this run).
+    def run(self, df: DataFrame, *, stats_columns=None,
+            sketch_columns=None, **validate_kw) -> dict:
+        """Validate all pending partitions; write violations (and any
+        metrics manifests), THEN the manifest.  Returns a summary dict
+        (partitions completed this run).
 
-        Crash-safety: violation rows are written via DYNAMIC partition
-        overwrite — a crash between the violations write and the
-        manifest write leaves the partition un-manifested, so resume
+        ``stats_columns`` additionally writes a per-partition
+        :func:`~joi_spark.operators.stats.stats_manifest` (null frac,
+        HLL distinct, min/max) and ``sketch_columns`` a
+        :func:`~joi_spark.operators.sketches.cardinality_manifest`
+        (mergeable HLL binaries) under the same lineage layout —
+        downstream drift/anomaly screens
+        (:func:`~joi_spark.operators.stats.manifest_anomalies`,
+        :func:`~joi_spark.operators.sketches.cardinality_merge`) then
+        run on manifests alone, never rescanning validated data.
+
+        Crash-safety: violation/stats/sketch rows are written via
+        DYNAMIC partition overwrite — a crash before the manifest
+        write leaves the partition un-manifested, so resume
         re-validates it and the overwrite REPLACES (not appends) the
         partial rows; no duplicates.  The constraint hash is part of
         the PHYSICAL layout (``partitionBy(constraint_hash,
         partition_col)``), so a run under a new hash only ever rewrites
-        its own hash's directories — prior-hash violation rows (and
-        their lineage) survive schema changes, and concurrent runs
-        under different hashes never clobber each other."""
+        its own hash's directories — prior-hash rows (and their
+        lineage) survive schema changes, and concurrent runs under
+        different hashes never clobber each other."""
         pending = self.pending(df)
         if pending.isEmpty():
             return {"completed_now": 0, "resumed": True}
@@ -93,6 +107,23 @@ class CheckpointedRun:
             viol.write.mode("overwrite") \
                 .partitionBy("constraint_hash", self.partition_col) \
                 .parquet(self.violations_path)
+            if stats_columns:
+                from joi_spark.operators.stats import stats_manifest
+                st = (stats_manifest(pending, self.partition_col,
+                                     list(stats_columns))
+                      .withColumn("constraint_hash", F.lit(self.hash)))
+                st.write.mode("overwrite") \
+                  .partitionBy("constraint_hash", self.partition_col) \
+                  .parquet(self.stats_path)
+            if sketch_columns:
+                from joi_spark.operators.sketches import cardinality_manifest
+                sk = (cardinality_manifest(pending, list(sketch_columns),
+                                           partition_col=self.partition_col)
+                      .withColumnRenamed("partition", self.partition_col)
+                      .withColumn("constraint_hash", F.lit(self.hash)))
+                sk.write.mode("overwrite") \
+                  .partitionBy("constraint_hash", self.partition_col) \
+                  .parquet(self.sketches_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         verd = (res.verdicts([self.partition_col])
@@ -111,3 +142,22 @@ class CheckpointedRun:
         guarantee holds for violations, not just the manifest."""
         return spark.read.parquet(self.violations_path) \
             .filter(F.col("constraint_hash") == self.hash)
+
+    def stats(self, spark: SparkSession) -> DataFrame:
+        """Per-partition column-stats manifest rows under THIS hash
+        (written when ``run(stats_columns=...)``); feed to
+        :func:`~joi_spark.operators.stats.manifest_anomalies`."""
+        return spark.read.parquet(self.stats_path) \
+            .filter(F.col("constraint_hash") == self.hash)
+
+    def sketches(self, spark: SparkSession) -> DataFrame:
+        """Per-partition HLL sketch manifest rows under THIS hash
+        (written when ``run(sketch_columns=...)``)."""
+        return spark.read.parquet(self.sketches_path) \
+            .filter(F.col("constraint_hash") == self.hash)
+
+    def global_cardinality(self, spark: SparkSession) -> DataFrame:
+        """Whole-table distinct estimates folded from the persisted
+        sketches — no data rescan (the mergeable-manifest payoff)."""
+        from joi_spark.operators.sketches import cardinality_merge
+        return cardinality_merge(self.sketches(spark))

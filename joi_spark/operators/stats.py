@@ -149,21 +149,38 @@ def stats_manifest(df: DataFrame, partition_col: str,
                 .orderBy(partition_col, "column"))
 
 
+def _z_screen(long: DataFrame, key: str, z_threshold: float,
+              round_to: int) -> DataFrame:
+    """z-score every (column, metric, key) row against the distribution
+    of that metric across keys; constant metrics (stddev 0) never flag.
+    Input: ``(key, column, metric, value)``."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("column", "metric")
+    z = F.when(F.stddev_samp("value").over(w) > 0,
+               (F.col("value") - F.avg("value").over(w))
+               / F.stddev_samp("value").over(w)).otherwise(F.lit(0.0))
+    return (long.withColumn("z", F.round(z, round_to))
+                .withColumn("flagged", F.abs(F.col("z")) > z_threshold)
+                .withColumn("value", F.round("value", round_to))
+                .select("column", key, "metric", "value", "z", "flagged")
+                .orderBy("column", "metric", key))
+
+
 def epoch_anomalies(df: DataFrame, columns: Sequence[str], *,
                     epoch_col: str = "epoch", z_threshold: float = 3.0,
                     round_to: int = 6) -> DataFrame:
-    """Cross-epoch anomaly screen over the stats manifest: per-column
+    """Cross-epoch anomaly screen over the raw data: per-column
     per-epoch mean and null fraction, z-scored against the distribution
     of that metric ACROSS epochs — flags the epoch whose profile jumps
     (ingestion bug, schema drift upstream, silent unit change).
 
     One partial-aggregating pass over the data produces the tiny
     (epoch × column × metric) table; the z-scores are windows over
-    that table, so cost is independent of row count.  Epochs where the
-    across-epoch stddev is 0 (metric constant) are never flagged.
+    that table, so cost is independent of row count.
     Output: ``(column, epoch, metric, value, z, flagged)``.
+    See :func:`manifest_anomalies` for the scale path that screens an
+    already-persisted stats manifest without touching the data.
     """
-    from pyspark.sql import Window
     columns = list(columns)
     aggs = []
     for c in columns:
@@ -181,12 +198,26 @@ def epoch_anomalies(df: DataFrame, columns: Sequence[str], *,
                 F.col(f"{c}__{metric}").cast("double").alias("value")))
     long = (wide.select("epoch", F.explode(F.array(*stacks)).alias("s"))
                 .select("epoch", "s.*"))
-    w = Window.partitionBy("column", "metric")
-    z = F.when(F.stddev_samp("value").over(w) > 0,
-               (F.col("value") - F.avg("value").over(w))
-               / F.stddev_samp("value").over(w)).otherwise(F.lit(0.0))
-    return (long.withColumn("z", F.round(z, round_to))
-                .withColumn("flagged", F.abs(F.col("z")) > z_threshold)
-                .withColumn("value", F.round("value", round_to))
-                .select("column", "epoch", "metric", "value", "z", "flagged")
-                .orderBy("column", "metric", "epoch"))
+    return _z_screen(long, "epoch", z_threshold, round_to)
+
+
+def manifest_anomalies(manifest: DataFrame, *, partition_col: str,
+                       metrics: Sequence[str] = ("null_frac",
+                                                 "approx_distinct"),
+                       z_threshold: float = 3.0,
+                       round_to: int = 6) -> DataFrame:
+    """Anomaly screen over an already-persisted :func:`stats_manifest`
+    (e.g. the one a :class:`~joi_spark.checkpoint.CheckpointedRun`
+    writes) — the 10^12-row path: each validation run leaves one tiny
+    manifest row per partition×column, and this screen z-scores those
+    rows WITHOUT ever rescanning the data.  A null-fraction spike or a
+    cardinality collapse in one epoch flags immediately.
+    Output: ``(column, <partition_col>, metric, value, z, flagged)``.
+    """
+    stacks = [F.struct(F.lit(m).alias("metric"),
+                       F.col(m).cast("double").alias("value"))
+              for m in metrics]
+    long = (manifest.select(F.col(partition_col), F.col("column"),
+                            F.explode(F.array(*stacks)).alias("s"))
+                    .select(partition_col, "column", "s.*"))
+    return _z_screen(long, partition_col, z_threshold, round_to)

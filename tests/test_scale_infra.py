@@ -159,3 +159,43 @@ def test_checkpoint_new_hash_preserves_old_violations(spark, ckpt_dir):
 def test_salted_sizes_requires_a_bound(skewed):
     with pytest.raises(ValueError, match="min_turns or max_turns"):
         SK.salted_conversation_sizes(skewed)
+
+
+def test_checkpoint_metrics_manifests(spark, ckpt_dir):
+    """run(stats_columns/sketch_columns) leaves per-partition metrics
+    manifests; anomaly + cardinality screens run on them WITHOUT
+    rescanning the data, and resume does not duplicate rows."""
+    from joi_spark.operators.stats import manifest_anomalies
+    df = clean_transcripts(spark, n_convs=20, turns_per_conv=10, n_epochs=4)
+    run = CheckpointedRun(ckpt_dir, _schema(), "epoch")
+    run.run(df, stats_columns=["role", "text"],
+            sketch_columns=["conv_id"])
+    st = run.stats(spark)
+    assert st.count() == 4 * 2              # 4 epochs x 2 columns
+    assert set(st.select("column").distinct().toPandas()["column"]) \
+        == {"role", "text"}
+    sk = run.sketches(spark)
+    assert sk.count() == 4
+    glob = run.global_cardinality(spark).first()
+    n_convs = df.select("conv_id").distinct().count()
+    assert abs(glob["estimate"] - n_convs) <= 0.05 * n_convs
+    assert glob["n_rows"] == df.count()
+    an = manifest_anomalies(st, partition_col="epoch", z_threshold=3.0)
+    assert an.count() == 4 * 2 * 2          # epochs x columns x metrics
+    assert an.filter("flagged").count() == 0   # clean data, no outlier
+    # resume with everything complete: no work, manifests unchanged
+    r2 = run.run(df, stats_columns=["role", "text"],
+                 sketch_columns=["conv_id"])
+    assert r2["resumed"] and run.stats(spark).count() == 8
+
+
+def test_checkpoint_stats_lineage_survives_schema_change(spark, ckpt_dir):
+    df = clean_transcripts(spark, n_convs=10, turns_per_conv=10, n_epochs=2)
+    run1 = CheckpointedRun(ckpt_dir, _schema(), "epoch")
+    run1.run(df, stats_columns=["role"])
+    changed = joi.object({"role": joi.string().valid("system").required()})
+    run2 = CheckpointedRun(ckpt_dir, changed, "epoch")
+    run2.run(df, stats_columns=["role"])
+    # each hash sees exactly its own stats rows
+    assert run1.stats(spark).count() == 2
+    assert run2.stats(spark).count() == 2
