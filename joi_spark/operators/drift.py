@@ -166,3 +166,36 @@ def drift_report(df: DataFrame, columns: list[str], *,
         out = p if out is None else out.unionAll(p)
     return out.withColumn("pass", F.col("psi") < psi_threshold) \
               .orderBy("column", "epoch")
+
+
+def baseline_fractions(df: DataFrame, column: str, *,
+                       bins: tuple[float, float, int] | None = None,
+                       top_k: int = 1000) -> DataFrame:
+    """Static baseline distribution ``(bucket, q)`` of ``column`` for
+    :func:`joi_spark.streaming.validate.stream_drift` — categorical
+    values verbatim (top ``top_k`` by mass), numeric via FIXED-edge
+    bins ``(lo, hi, n)`` supplied by the caller: a stream cannot
+    derive data-dependent edges from unbounded input, so the edges
+    must come from the baseline era and be reused verbatim on the
+    stream side."""
+    b = _bucketize(F.col(column), bins)
+    counts = (df.filter(F.col(column).isNotNull())
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), "bucket").limit(top_k))
+    total = counts.agg(F.sum("cnt")).first()[0]
+    return counts.select("bucket",
+                         (F.col("cnt") / F.lit(float(total))).alias("q"))
+
+
+def _bucketize(col, bins: tuple[float, float, int] | None):
+    """Shared bucket labeling: value verbatim, or fixed-edge bin index
+    — identical on the baseline and stream sides by construction."""
+    if bins is None:
+        return col.cast("string")
+    lo, hi, n = bins
+    width = (hi - lo) / n
+    idx = F.least(F.greatest(
+        F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(0)), F.lit(n - 1))
+    return idx.cast("string")

@@ -164,3 +164,61 @@ def stream_sessions(stream_df: DataFrame, *,
                     F.col("session.start").alias("session_start"),
                     F.col("session.end").alias("session_end"),
                     "n_events", "first_ts", "last_ts"))
+
+
+def stream_drift(stream_df: DataFrame, column: str,
+                 baseline: DataFrame, *,
+                 event_time_col: str = "ts",
+                 window_duration: str = "1 hour",
+                 watermark_delay: str = "10 minutes",
+                 bins: tuple[float, float, int] | None = None,
+                 psi_threshold: float = 0.25) -> DataFrame:
+    """Per-window PSI of ``column``'s distribution against a static
+    baseline (:func:`joi_spark.operators.drift.baseline_fractions`) —
+    the streaming realization of the batch epoch-drift check: each
+    event-time window plays the role of an epoch.
+
+    The baseline's bucket set is collected driver-side ONCE (it is a
+    tiny static table), which turns per-window PSI into a SINGLE
+    stateful aggregation: one conditional-count column per baseline
+    bucket plus an out-of-vocabulary bucket, then pure Column PSI
+    algebra over the counts.  No chained streaming aggregations, no
+    stream-side join — state is one row of ~|buckets| longs per open
+    window, bounded by the watermark horizon.  Out-of-vocabulary mass
+    (values the baseline never saw) is compared against the EPS floor,
+    so novel categories drive PSI up instead of vanishing.
+
+    Emits ``(window, n_rows, psi, drifted)`` — pair with
+    ``.writeStream.outputMode('append')``.
+    """
+    import math
+
+    from joi_spark.operators.drift import EPS, _bucketize
+
+    base = {r["bucket"]: r["q"] for r in baseline.collect()}
+    if not base:
+        raise ValueError("baseline has no buckets")
+    buckets = sorted(base)
+    b = _bucketize(F.col(column), bins)
+    src = stream_df.filter(F.col(column).isNotNull())
+    aggs = [F.sum((b == F.lit(v)).cast("long")).alias(f"_c{i}")
+            for i, v in enumerate(buckets)]
+    aggs.append(F.sum((~b.isin(list(buckets))).cast("long")).alias("_oov"))
+    win = (src.withWatermark(event_time_col, watermark_delay)
+              .groupBy(F.window(event_time_col, window_duration)
+                        .alias("window"))
+              .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))
+    total = F.col("n_rows").cast("double")
+    terms = []
+    for i, v in enumerate(buckets):
+        p = F.col(f"_c{i}") / total + F.lit(EPS)
+        q = F.lit(base[v] + EPS)
+        terms.append((p - q) * F.log(p / q))
+    p_oov = F.col("_oov") / total + F.lit(EPS)
+    terms.append((p_oov - F.lit(EPS)) * F.log(p_oov / F.lit(EPS)))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return (win.withColumn("psi", F.round(psi, 6))
+               .withColumn("drifted", F.col("psi") > psi_threshold)
+               .select("window", "n_rows", "psi", "drifted"))

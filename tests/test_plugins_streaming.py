@@ -256,3 +256,55 @@ def test_stream_sessions_native_session_window(spark, stream_dirs):
     # the sentinel's own session is still open (watermark hasn't
     # passed it) — exactly the three earlier sessions have closed
     assert got == {("a", m(0), 2), ("a", m(120), 2), ("b", m(1), 1)}
+
+
+def test_stream_drift_flags_shifted_window(spark, stream_dirs):
+    """Window matching the baseline mix scores PSI ~0; a skewed window
+    with a novel category drifts — values cross-checked against an
+    independent python PSI with the same EPS smoothing."""
+    import datetime
+    import math
+
+    from joi_spark.operators.drift import EPS, baseline_fractions
+    from joi_spark.streaming import stream_drift
+
+    src, ckpt = stream_dirs
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t1 = datetime.datetime(2024, 1, 1, 1, 30)
+    t2 = datetime.datetime(2024, 1, 1, 3, 30)   # sentinel: pushes the
+    rows = [(t0, "a")] * 50 + [(t0, "b")] * 50 \
+         + [(t1, "a")] * 90 + [(t1, "b")] * 5 + [(t1, "z")] * 5 \
+         + [(t2, "a")]      # watermark past window 1 so it closes
+    batch = spark.createDataFrame(rows, "ts timestamp, role string")
+    batch.write.mode("overwrite").parquet(src)
+    base = spark.createDataFrame([("x", "a")] * 500 + [("x", "b")] * 500,
+                                 "k string, role string")
+    baseline = baseline_fractions(base, "role")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_drift(stream, "role", baseline,
+                       window_duration="1 hour",
+                       watermark_delay="1 minute")
+    q = (out.writeStream.format("memory").queryName("drift")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].hour: (r["psi"], r["drifted"])
+           for r in spark.sql("SELECT * FROM drift").collect()}
+    assert set(got) == {0, 1}
+
+    def psi(p_counts, q_fracs, total):
+        s = 0.0
+        for bucket, qf in q_fracs.items():
+            p = p_counts.get(bucket, 0) / total + EPS
+            s += (p - (qf + EPS)) * math.log(p / (qf + EPS))
+        oov = sum(c for b, c in p_counts.items() if b not in q_fracs)
+        p = oov / total + EPS
+        s += (p - EPS) * math.log(p / EPS)
+        return round(s, 6)
+
+    qf = {"a": 0.5, "b": 0.5}
+    assert got[0] == (psi({"a": 50, "b": 50}, qf, 100), False)
+    want1 = psi({"a": 90, "b": 5, "z": 5}, qf, 100)
+    assert got[1] == (want1, True)
+    assert want1 > 0.25 and got[0][0] < 0.01
