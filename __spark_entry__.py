@@ -483,6 +483,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, list(range(10)), k=5, n_lists=8, nprobe=3)
 
 
+def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PERSISTED index (operators/similarity.py
+    build_ivf_index / ivf_topk_from_index): the corpus is written to
+    list_id-partitioned parquet once; queries probe only their nprobe
+    list directories (partition pruning).  Under the same deterministic
+    quantizer the output is bit-identical to q_ivf_topk, so the same
+    exact oracle applies — it verifies the PERSISTED path end-to-end
+    (float roundtrip, pruning, stored-vector rescoring)."""
+    import hashlib
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/joi_ivf_index_{tag}"
+    SIM.build_ivf_index(emb, path, n_lists=8)
+    return SIM.ivf_topk_from_index(emb.filter(F.col("vec_id") < 10),
+                                   path, k=5, nprobe=3)
+
+
 def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs ≥ 0.45 via the DEFAULT
     RP-bucketed candidate path (4 bits × 8 tables); the oracle
@@ -1194,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift": q_quantile_drift,
         "stats_anomaly": q_stats_anomaly,
         "incremental_dedup": q_incremental_dedup,
+        "ivf_index": q_ivf_index,
     }
 
 
@@ -1978,4 +1996,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE jac >= 0.8 AND (ida % 3 = 0 OR idb % 3 = 0)
         """,
+        # same oracle as ivf_topk: under the deterministic quantizer the
+        # persisted-index path is bit-identical to the in-memory path
+        "ivf_index": _ivf_topk_oracle(k=5, n_lists=8, nprobe=3),
     }

@@ -442,3 +442,106 @@ def ivf_topk(df: DataFrame, query_ids: list, k: int = 5,
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id"))
     return _rescore_topk(df, cands, query_ids, k, id_col, vec_col, dim)
+
+
+# --- persisted IVF index ---------------------------------------------------
+
+def build_ivf_index(df: DataFrame, path: str, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_lists: int = 16,
+                    centroids: list[list[float]] | None = None,
+                    dim: int | None = None, seed: int = 0) -> None:
+    """Persist the inverted-file index of a vector corpus:
+
+    - ``lists/``     — ``(id, vec, list_id)`` PARTITIONED BY list_id,
+      so a query probing ``nprobe`` of ``n_lists`` lists reads only
+      those directories (directory-level partition pruning — the
+      I/O-side realization of IVF's compute saving);
+    - ``centroids/`` — the coarse quantizer, one row per list.
+
+    Same total size as the corpus (one home row per vector — no
+    LSH-style n_tables× blowup).  Pass trained centroids from
+    :func:`train_ivf_centroids` for recall; the deterministic
+    :func:`ivf_centroids` default keeps the index oracle-reproducible.
+    """
+    spark = df.sparkSession
+    dim = vector_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_lists, dim, seed)
+    probed = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"),
+                       _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
+                       .alias("list_id"))
+    probed.write.mode("overwrite").partitionBy("list_id") \
+        .parquet(f"{path}/lists")
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def append_ivf_index(df: DataFrame, path: str, *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Assign a new batch to its home lists under the STORED quantizer
+    and append — no rebuild, no corpus rescan (list membership of old
+    vectors is immutable under a fixed quantizer)."""
+    spark = df.sparkSession
+    cents = _load_centroids(spark, path)
+    probed = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"),
+                       _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
+                       .alias("list_id"))
+    probed.write.mode("append").partitionBy("list_id") \
+        .parquet(f"{path}/lists")
+
+
+def _load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return [list(r["centroid"])
+            for r in sorted(rows, key=lambda r: r["list_id"])]
+
+
+def ivf_topk_from_index(queries: DataFrame, path: str, *, k: int = 5,
+                        nprobe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int | None = None,
+                        exclude_self: bool = True) -> DataFrame:
+    """Approximate top-``k`` neighbors for ``queries`` (any vector
+    table — in-corpus ids or external vectors) against a PERSISTED
+    index, without the corpus table: probe assignment is map-only over
+    the query side (centroids ride as plan literals), the broadcast
+    probe set equi-joins the stored lists with ``list_id`` partition
+    pruning at the scan, and exact-cosine top-k rescoring uses the
+    vectors stored IN the index.  Identical output contract (and,
+    under the same quantizer, identical results) to :func:`ivf_topk`.
+    """
+    spark = queries.sparkSession
+    cents = _load_centroids(spark, path)
+    dim = vector_dim(queries, vec_col, dim)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"),
+                        norm_expr(vec_col, dim).alias("_qn"),
+                        _ivf_probe_pandas_udf(cents, nprobe)(F.col(vec_col))
+                        .alias("_pl"))
+                .select("query_id", "_qv", "_qn",
+                        F.explode("_pl").alias("list_id")))
+    lists = spark.read.parquet(f"{path}/lists") \
+        .select(F.col("id").alias("neighbor_id"),
+                F.col("vec").alias("_cv"), "list_id") \
+        .withColumn("_cn", norm_expr("_cv", dim))
+    scored = F.broadcast(q).join(lists, "list_id")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    # no distinct needed: each corpus vector lives in exactly ONE home
+    # list, so a (query, neighbor) pair can match at most one probe
+    scored = (scored.withColumn("cosine",
+                                dot_expr("_qv", "_cv", dim)
+                                / (F.col("_qn") * F.col("_cn")))
+                    .select("query_id", "neighbor_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.round("cosine", 6).alias("cosine"), "rank"))
