@@ -42,7 +42,8 @@ def test_bloom_no_false_negatives(spark, part_dim):
     """Every key that went into the filter must probe true — the
     property that makes reported orphans definite."""
     bloom = SK.bloom_finalize(SK.bloom_build(part_dim, "p_partkey",
-                                             n_bits=1 << 14, n_hashes=5))
+                                             n_bits=1 << 14, n_hashes=5),
+                              n_bits=1 << 14)
     probed = SK.bloom_probe(part_dim, "p_partkey", bloom,
                             n_bits=1 << 14, n_hashes=5)
     assert probed.filter(~F.col("bloom_maybe")).count() == 0
