@@ -107,16 +107,24 @@ def bloom_finalize(words: DataFrame, *, n_bits: int) -> DataFrame:
     LINEAR-SCANS the entries, so a sparse-map filter would cost
     O(words) per probe per hash — measured 6.5 s vs 0.6 s on a 600k-row
     probe at 2^20 bits, and growing with ``n_bits``.  Array indexing
-    is O(1) regardless of filter size."""
+    is O(1) regardless of filter size.
+
+    Densification unions an all-zero word per index BEFORE the fold
+    (so every slot exists) and sorts once — an O(n log n) shuffle of
+    ≤ ``n_bits/64`` tiny rows.  The obvious alternative
+    (``transform(sequence(n_words), i -> element_at(map, i))``) is
+    O(n_words²) map scans on a single row — measured 9.7 s vs 3.1 s
+    for the same sf0.1 query at 2^20 bits."""
     n_words = (n_bits + 63) // 64
-    sparse = words.agg(F.map_from_arrays(
-        F.collect_list("word_idx"),
-        F.collect_list("bits")).alias("__m"))
+    zeros = words.sparkSession.range(n_words).select(
+        F.col("id").alias("word_idx"),
+        F.lit(0).cast("long").alias("bits"))
+    full = (words.select("word_idx", "bits").unionByName(zeros)
+                 .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
     dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(F.element_at("__m", i),
-                             F.lit(0).cast("long")))
-    return sparse.select(dense.alias("__bm"))
+        F.array_sort(F.collect_list(F.struct("word_idx", "bits"))),
+        lambda s: s["bits"])
+    return full.agg(dense.alias("__bm"))
 
 
 def bloom_probe(df: DataFrame, col: str, bloom: DataFrame, *,
