@@ -32,6 +32,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# one source of truth for the mix_sample query AND its oracle
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
 _VCOLS = ["code", "message", "severity"]
 
 
@@ -506,6 +510,34 @@ def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the same deterministic buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_near_pairs(emb, threshold=0.45)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-threshold dedup: deterministic
+    spherical-centroid home assignment, within-cluster cosine ≥ 0.45,
+    keep-first (joi_spark.operators.dedup.semantic_dedup).  The oracle
+    reproduces the centroid literals, so it checks the clustered plan
+    itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup(emb, threshold=0.45, n_lists=8)
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document duplicated 8-token-window exposure (the exact-
+    substring-dedup screening metric, Lee et al. 2021) —
+    joi_spark.operators.dedup.window_dup_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.window_dup_stats(docs, n=8)
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain-mixture resampling to target proportions
+    (joi_spark.operators.sampling.mix_to_target): declarative rate
+    table (no driver count round-trip), md5-hex threshold selection
+    reproducible in any SQL engine."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.mix_to_target(docs, "source", _MIX_TARGETS, seed="mix")
+    return out.select("doc_id", "source", "n_chars")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,6 +1048,99 @@ def _ivf_topk_oracle(k: int = 5, n_lists: int = 8, nprobe: int = 3) -> str:
     """
 
 
+def _semantic_dedup_oracle(threshold: float = 0.45,
+                           n_lists: int = 8) -> str:
+    """Mirrors joi_spark.operators.dedup.semantic_dedup bit-for-bit:
+    centroid literals + sequential-fold scores give identical home
+    clusters; within-cluster pairs + keep-first min-neighbor."""
+    from joi_spark.operators.similarity import ivf_centroids
+    cents = ivf_centroids(n_lists, _EMB_DIM)
+    vals = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(v) for v in cents[c]) + "])"
+        for c in range(n_lists))
+    cs = _COSINE_SQL.format(a="ea", b="eb")
+    return f"""
+        WITH cents(cid, cv) AS (SELECT * FROM (VALUES {vals})),
+        d AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_sum(list_transform(range({_EMB_DIM}),
+                         i -> CAST(e.embedding[i+1] AS DOUBLE)
+                              * c.cv[i+1])) AS s
+              FROM embeddings e CROSS JOIN cents c),
+        a AS (SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, cid) AS rk
+              FROM d),
+        home AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
+        p AS (SELECT x.vec_id AS ia, y.vec_id AS ib,
+                     x.embedding AS ea, y.embedding AS eb
+              FROM home x JOIN home y
+                ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        close AS (SELECT ia, ib FROM
+                  (SELECT ia, ib, round({cs}, 6) AS c2 FROM p)
+                  WHERE c2 >= {threshold}),
+        dup AS (SELECT ib AS vec_id, min(ia) AS dup_of
+                FROM close GROUP BY ib)
+        SELECT h.vec_id, CAST(h.cid AS INT) AS list_id,
+               (u.dup_of IS NULL) AS keep, u.dup_of
+        FROM home h LEFT JOIN dup u USING (vec_id)
+    """
+
+
+def _window_dedup_oracle(n: int = 8) -> str:
+    """Mirrors joi_spark.operators.dedup.window_dup_stats: identical
+    tokenization (trim+lower+\\s+ split), identical md5 window keys,
+    cross-document-only duplication."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)),
+                                             '\\s+') AS tok
+                   FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id,
+                       md5(array_to_string(tok[i:i+{n - 1}], ' ')) AS w
+                FROM t, unnest(generate_series(1, len(tok) - {n - 1}))
+                     AS u(i)),
+        shared AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM pos)
+                   GROUP BY w HAVING count(*) >= 2),
+        per AS (SELECT p.doc_id, count(*) AS n_windows,
+                       count(s.w) AS dup_windows
+                FROM pos p LEFT JOIN shared s USING (w)
+                GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               COALESCE(per.n_windows, 0) AS n_windows,
+               COALESCE(per.dup_windows, 0) AS dup_windows,
+               CASE WHEN per.n_windows > 0
+                    THEN round(per.dup_windows / per.n_windows, 6)
+                    ELSE 0.0 END AS dup_fraction
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+def _mix_sample_oracle(targets: dict[str, float],
+                       seed: str = "mix") -> str:
+    """Mirrors joi_spark.operators.sampling.mix_to_target: same
+    N* = min(count/target) scale, same multiply-then-divide rate
+    order, same floor-to-32-bit hex threshold quantization, same
+    lexicographic md5 selection."""
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in targets.items())
+    return f"""
+        WITH tgt(source, tf) AS (SELECT * FROM (VALUES {vals})),
+        c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY source),
+        j AS (SELECT c.source, c.n, tgt.tf FROM c JOIN tgt USING (source)),
+        m AS (SELECT min(n / tf) AS nstar FROM j),
+        r AS (SELECT j.source,
+                     printf('%08x', CAST(least(
+                         floor(least(j.tf * m.nstar / j.n, 1.0)
+                               * 4294967296.0),
+                         4294967295.0) AS BIGINT)) AS thr
+              FROM j, m)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE substring(md5('{seed}' || ':'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+    """
+
+
 def _lang_id_oracle() -> str:
     """Generated from joi_spark.operators.text.STOPWORDS so the Spark
     implementation and the DuckDB oracle share ONE word-list source."""
@@ -1186,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near": q_embedding_near,
+        "semantic_dedup": q_semantic_dedup,
+        "window_dedup": q_window_dedup,
+        "mix_sample": q_mix_sample,
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
         "token_stats": q_token_stats,
@@ -1597,6 +1725,10 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 5
         """,
         "embedding_near": _embedding_near_oracle(threshold=0.45),
+        "semantic_dedup": _semantic_dedup_oracle(threshold=0.45,
+                                                 n_lists=8),
+        "window_dedup": _window_dedup_oracle(n=8),
+        "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
         "lsh_topk": _lsh_topk_oracle(k=5, n_bits=4, n_tables=4),
         "ivf_topk": _ivf_topk_oracle(k=5, n_lists=8, nprobe=3),
         "simhash_pairs": _simhash_oracle(max_hamming=8),

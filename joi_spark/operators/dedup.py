@@ -699,3 +699,119 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
     return out.select(F.col("_ida").alias("id_a"),
                       F.col("_idb").alias("id_b"),
                       F.round("jaccard", 6).alias("jaccard"), "scope")
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", *,
+                   threshold: float = 0.95, n_lists: int = 16,
+                   dim: int | None = None, seed: int = 0) -> DataFrame:
+    """Cluster-then-threshold semantic dedup (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): assign every embedding to its nearest
+    coarse-quantizer centroid, then drop any item that has a
+    same-cluster neighbor with cosine ≥ ``threshold`` and a smaller
+    id (keep-first).  Returns ``(id, list_id, keep, dup_of)`` — one
+    row per input, ``dup_of`` = the smallest qualifying neighbor for
+    dropped rows, NULL for kept rows.
+
+    Scale shape: centroid assignment is map-only (deterministic
+    spherical centroids ride in the plan as literals —
+    similarity.ivf_centroids, so an external oracle reproduces every
+    assignment); pair generation is an EQUI-join on ``list_id``, never
+    a cross join.  At 100 TB ``n_lists`` grows with the corpus so
+    per-cluster populations stay bounded — the paper's regime (50k
+    clusters over 5B images) — and AQE splits any skewed cluster.
+    Unlike :func:`embedding_near_pairs` (OR-amplified RP tables,
+    recall-oriented), one-cluster blocking trades recall at the
+    cluster boundary for a single-join plan — the paper's trade.
+    """
+    from joi_spark.operators.similarity import (dot_pandas_udf,
+                                                ivf_assign, norm_expr,
+                                                vector_dim)
+    dim = vector_dim(df, vec_col, dim)
+    home = ivf_assign(df, id_col, vec_col, n_lists=n_lists, nprobe=1,
+                      dim=dim, seed=seed).select(id_col, "list_id")
+    vec = df.select(F.col(id_col), F.col(vec_col),
+                    norm_expr(vec_col, dim).alias("_nrm"))
+    a = home.join(vec, id_col).select(
+        F.col(id_col).alias("_ida"), "list_id",
+        F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
+    b = home.join(vec, id_col).select(
+        F.col(id_col).alias("_idb"), "list_id",
+        F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
+    # Arrow-batched dot kept OUT of the join condition (see
+    # embedding_near_pairs for the measured reason)
+    cs = dot_pandas_udf()(F.col("_va"), F.col("_vb")) \
+        / (F.col("_na") * F.col("_nb"))
+    dup = (a.join(b, "list_id")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .withColumn("_cs", F.round(cs, 6))
+            .filter(F.col("_cs") >= threshold)
+            .groupBy(F.col("_idb").alias(id_col))
+            .agg(F.min("_ida").alias("dup_of")))
+    return (home.join(dup, id_col, "left")
+                .select(id_col, "list_id",
+                        F.col("dup_of").isNull().alias("keep"),
+                        "dup_of"))
+
+
+# --- duplicated-token-window screening (Lee et al. 2021-style) -------------
+
+def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *, n: int = 8) -> DataFrame:
+    """Per-document duplicated-substring exposure, the screening
+    metric behind exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499): the fraction of a doc's ``n``-token windows
+    whose window text also occurs in at least one OTHER document.
+    Returns ``(id, n_windows, dup_windows, dup_fraction)``; docs
+    shorter than ``n`` tokens report ``(0, 0, 0.0)``.
+
+    Windows are keyed by ``md5`` of the space-joined token slice (a
+    16-byte shuffle key independent of window length; md5 so an
+    external SQL oracle reproduces every key).  Shuffle shape: the
+    shared-window set comes from a partial-aggregated groupBy on the
+    window key; per-doc counting re-joins positions to that set on the
+    same key — no document text ever shuffles, only (id, 16-byte key)
+    rows, ~L rows per L-token doc.  A stop-phrase window shared by
+    millions of docs costs one aggregate row here, not a quadratic
+    pair expansion — this is the screening complement to the
+    pair-level tiers above.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(F.col(id_col).alias("id"),
+                    F.explode_outer(wins).alias("_w"))
+    docwins = pos.filter(F.col("_w").isNotNull()).distinct()
+    shared = (docwins.groupBy("_w")
+                     .agg(F.count(F.lit(1)).alias("_nd"))
+                     .filter(F.col("_nd") >= 2)
+                     .select("_w", F.lit(1).alias("_dup")))
+    per_doc = (pos.join(shared, "_w", "left")
+                  .groupBy("id")
+                  .agg(F.count("_w").alias("n_windows"),
+                       F.count("_dup").alias("dup_windows")))
+    frac = F.when(F.col("n_windows") > 0,
+                  F.round(F.col("dup_windows") / F.col("n_windows"), 6)) \
+            .otherwise(F.lit(0.0))
+    return per_doc.select(F.col("id").alias(id_col),
+                          "n_windows", "dup_windows",
+                          frac.alias("dup_fraction"))
+
+
+def window_dedup_filter(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, n: int = 8,
+                        max_dup_fraction: float = 0.5) -> DataFrame:
+    """Keep documents whose duplicated-window exposure stays below
+    ``max_dup_fraction`` — the corpus-screening materialization of
+    :func:`window_dup_stats` (broadcast/AQE anti-join shape, as
+    :func:`dedup_corpus`)."""
+    drops = (window_dup_stats(df, id_col, text_col, n=n)
+             .filter(F.col("dup_fraction") > max_dup_fraction)
+             .select(id_col))
+    return df.join(drops, [id_col], "left_anti")

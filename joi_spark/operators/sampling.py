@@ -122,3 +122,55 @@ def weighted_sample_topk(df: DataFrame, weight_col: str, k: int,
     return (ranked.withColumn("rank", F.row_number().over(rw))
                   .select(id_col, "weight",
                           F.round("_pri", 6).alias("priority"), "rank"))
+
+
+def mix_to_target(df: DataFrame, strata_col: str,
+                  targets: dict[str, float],
+                  id_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Resample a corpus to TARGET mixture proportions (domain /
+    language reweighting, the data-mixing step of a training
+    pipeline): the output's per-stratum composition approximates
+    ``targets`` (fractions over the listed strata), sampling WITHOUT
+    replacement, keeping the largest total the targets admit.
+
+    The achievable total is ``N* = min over strata of (count_s /
+    target_s)`` — the stratum that would need oversampling pins the
+    scale; every stratum then keeps ``target_s · N* / count_s`` of its
+    rows via the same lexicographic md5-hex threshold as
+    :func:`hash_sample`, so the draw is reproducible from (ids, seed,
+    targets) alone.  Strata absent from ``targets`` are dropped (the
+    targets define the output universe).
+
+    Entirely declarative — no driver-side count round-trip: the
+    per-stratum counts are one partial-aggregated groupBy (a scan
+    that reads ONLY the stratum column after pruning), the rate table
+    is a few rows broadcast back onto the corpus, and the final
+    filter is map-side.  Two scans of one column + one full scan at
+    100 TB; the hex threshold quantizes rates exactly like
+    :func:`rate_threshold` (floor to 32-bit hex) so an external SQL
+    oracle reproduces the selected id set bit-for-bit.
+    """
+    spark = df.sparkSession
+    bad = {k: v for k, v in targets.items() if v <= 0}
+    if bad:
+        raise ValueError(f"target fractions must be positive: {bad}")
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"`{strata_col}` string, _tf double")
+    counts = (df.groupBy(strata_col)
+                .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+                .join(tgt, strata_col))
+    nstar = counts.agg(F.min(F.col("_n") / F.col("_tf")).alias("_nstar"))
+    # rate = (target · N*) / count, in THIS multiply-then-divide order
+    # (both engines run the identical IEEE sequence)
+    rate = F.least(F.col("_tf") * F.col("_nstar") / F.col("_n"),
+                   F.lit(1.0))
+    thr = F.lpad(F.lower(F.hex(
+        F.least(F.floor(rate * F.lit(float(16 ** 8))).cast("long"),
+                F.lit(16 ** 8 - 1)))), 8, "0")
+    rates = counts.crossJoin(F.broadcast(nstar)) \
+                  .select(strata_col, thr.alias("_thr"))
+    h = F.substring(_md5_key(id_col, seed), 1, 8)
+    return (df.join(F.broadcast(rates), strata_col)
+              .filter(h < F.col("_thr"))
+              .drop("_thr"))

@@ -194,3 +194,39 @@ def test_weighted_topk_uses_partial_topk_not_global_sort(spark):
     # here would materialize a global sort of the whole corpus
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p
+
+
+def test_semantic_dedup_plan_is_cluster_equijoin(spark):
+    """SemDeDup pairs come from an equi-join on the home list id —
+    never a cross join; centroid assignment is map-only (the
+    centroids ride as literals, no join for them)."""
+    from joi_spark.operators import dedup as DD
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(DD.semantic_dedup(emb, threshold=0.9, n_lists=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "list_id" in p
+
+
+def test_window_dup_stats_never_shuffles_text(spark):
+    """Only (id, 16-byte window key) rows move: the exchanges carry
+    the md5 key, never the document text column."""
+    from joi_spark.operators import dedup as DD
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(DD.window_dup_stats(docs, n=8))
+    assert "CartesianProduct" not in p
+    import re
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in ex
+
+
+def test_mix_to_target_broadcasts_rate_table(spark):
+    """The per-stratum rate table (a few rows) must broadcast onto the
+    corpus — resampling never shuffles the corpus itself."""
+    from joi_spark.operators import sampling as SP
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(SP.mix_to_target(docs, "source",
+                               {"src0": 0.5, "src1": 0.5}))
+    assert "BroadcastHashJoin" in p
+    # the corpus side reaches the join without an exchange of doc rows
+    assert "CartesianProduct" not in p

@@ -256,3 +256,55 @@ def test_vocab_topk_min_count_prunes_hapax(spark):
     df = spark.createDataFrame([(0, "a a b")], "doc_id bigint, text string")
     got = TX.vocab_topk(df, k=10, min_count=2).collect()
     assert [(r["token"], r["n"]) for r in got] == [("a", 2)]
+
+
+# --- mixture resampling (mix_to_target) ------------------------------------
+
+def test_mix_to_target_rates_and_selection(spark):
+    # counts 100/100; targets 0.5/0.25 -> N*=200, rates A=1.0, B=0.5
+    rows = [(i, "A") for i in range(100)] + \
+           [(100 + i, "B") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    got = SP.mix_to_target(df, "src", {"A": 0.5, "B": 0.25}, seed="m")
+    by = {r["src"]: set() for r in got.collect()}
+    for r in got.collect():
+        by[r["src"]].add(r["doc_id"])
+    assert by["A"] == set(range(100))          # rate 1.0 keeps all
+    thr = SP.rate_threshold(0.5)
+    want_b = {100 + i for i in range(100)
+              if _h8("m", 100 + i) < thr}
+    assert by["B"] == want_b                   # md5 selection, exact
+
+
+def test_mix_to_target_drops_unlisted_strata(spark):
+    rows = [(0, "A"), (1, "B"), (2, "C")]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    got = SP.mix_to_target(df, "src", {"A": 1.0})
+    assert {r["src"] for r in got.collect()} == {"A"}
+
+
+def test_mix_to_target_rejects_nonpositive_target(spark):
+    df = spark.createDataFrame([(0, "A")], "doc_id bigint, src string")
+    with pytest.raises(ValueError):
+        SP.mix_to_target(df, "src", {"A": 0.0})
+
+
+def test_mix_to_target_stable_under_repartition(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    tg = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+    a = {r["doc_id"] for r in SP.mix_to_target(df, "src", tg).collect()}
+    b = {r["doc_id"] for r in
+         SP.mix_to_target(df.repartition(17), "src", tg).collect()}
+    assert a == b
+
+
+def test_mix_to_target_composition_tracks_targets(spark):
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    tg = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+    got = SP.mix_to_target(df, "src", tg).groupBy("src").count().collect()
+    total = sum(r["count"] for r in got)
+    frac = {r["src"]: r["count"] / total for r in got}
+    for s, f in tg.items():
+        assert abs(frac[s] - f) < 0.05

@@ -614,3 +614,107 @@ def test_ivf_index_scan_prunes_probed_lists(spark, tmp_path):
     scan = next(l for l in plan.splitlines()
                 if "FileScan" in l and "list_id" in l and "vec" in l)
     assert "PartitionFilters" in scan
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+
+def test_semantic_dedup_drops_same_cluster_near_dups(spark):
+    # identical vectors always share a home cluster; keep-first drops
+    # every later id onto the smallest one
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: (r["keep"], r["dup_of"])
+           for r in DD.semantic_dedup(df, threshold=0.99,
+                                      n_lists=4).collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, 0)
+    assert got[2] == (False, 0)
+    assert got[3][0] is True
+
+
+def test_semantic_dedup_no_kept_close_pair_in_cluster(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    thr = 0.8
+    res = DD.semantic_dedup(df, threshold=thr, n_lists=4)
+    kept = res.filter(F.col("keep")).select("vec_id", "list_id")
+    # exact within-cluster pairwise check over the KEPT set only
+    a = kept.join(df, "vec_id").select(
+        F.col("vec_id").alias("ia"), "list_id",
+        F.col("embedding").alias("ea"))
+    b = kept.join(df, "vec_id").select(
+        F.col("vec_id").alias("ib"), "list_id",
+        F.col("embedding").alias("eb"))
+    close = (a.join(b, "list_id")
+              .filter(F.col("ia") < F.col("ib"))
+              .withColumn("cs", F.round(
+                  SIM.cosine_expr(F.col("ea"), F.col("eb")), 6))
+              .filter(F.col("cs") >= thr))
+    assert close.count() == 0
+
+
+def test_semantic_dedup_dup_of_is_smallest_neighbor(spark):
+    rows = [(5, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r["dup_of"]
+           for r in DD.semantic_dedup(df, threshold=0.99,
+                                      n_lists=2).collect()}
+    assert got == {5: None, 7: 5, 9: 5}
+
+
+# --- duplicated-window screening -------------------------------------------
+
+def test_window_dup_stats_cross_doc_only(spark):
+    shared = "a b c d e f g h"
+    rows = [(0, shared),                       # 1 window, shared with 1
+            (1, shared),
+            (2, "p q r s t u v w"),            # unique 8-gram
+            (3, "x y z"),                      # shorter than n
+            (4, shared + " " + shared)]        # overlaps 0/1 + self-repeat
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"],
+                         r["dup_fraction"])
+           for r in DD.window_dup_stats(df, n=8).collect()}
+    assert got[0] == (1, 1, 1.0)
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    # doc 4: 9 windows; the two copies of the shared window ARE
+    # duplicated (docs 0/1 have it); the 7 straddle windows are its own
+    assert got[4] == (9, 2, round(2 / 9, 6))
+
+
+def test_window_within_doc_repeat_not_duplicated(spark):
+    # the repeated window exists only inside ONE doc -> not cross-doc
+    rows = [(0, "a b c d a b c d"),
+            (1, "p q r s t u v w")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["dup_windows"]
+           for r in DD.window_dup_stats(df, n=4).collect()}
+    assert got[0] == 0
+    assert got[1] == 0
+
+
+def test_window_dedup_filter_keeps_low_exposure(spark):
+    shared = "one two three four five six seven eight"
+    rows = [(0, shared), (1, shared),
+            (2, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in DD.window_dedup_filter(
+        df, n=8, max_dup_fraction=0.5).collect()}
+    assert kept == {2}
+
+
+def test_window_dup_stats_null_and_empty_docs(spark):
+    rows = [(0, None), (1, ""), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["dup_fraction"])
+           for r in DD.window_dup_stats(df, n=8).collect()}
+    assert got[0] == (0, 0.0)
+    assert got[1] == (0, 0.0)
+    assert got[2] == (1, 0.0)
