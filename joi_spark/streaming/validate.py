@@ -222,3 +222,57 @@ def stream_drift(stream_df: DataFrame, column: str,
     return (win.withColumn("psi", F.round(psi, 6))
                .withColumn("drifted", F.col("psi") > psi_threshold)
                .select("window", "n_rows", "psi", "drifted"))
+
+
+def stream_dedup(stream_df: DataFrame, *,
+                 key_cols: tuple[str, ...] = ("text",),
+                 event_time_col: str = "ts",
+                 watermark_delay: str = "1 hour",
+                 history: DataFrame | None = None,
+                 history_key: str = "fp",
+                 fp_col: str = "fp") -> DataFrame:
+    """Exact-dedup a document stream AT INGESTION: drop rows whose
+    content fingerprint (sha256 over ``key_cols``) was already seen —
+
+    - within the stream: Spark's ``dropDuplicatesWithinWatermark``
+      keyed on the fingerprint, so state holds one 32-byte key per
+      distinct document inside the watermark horizon and is evicted
+      beyond it (an UNWATERMARKED streaming dropDuplicates grows
+      state forever — the classic ingestion-pipeline leak);
+    - optionally against an already-ingested corpus: a stream-static
+      LEFT ANTI join on the fingerprint — stateless, re-planned per
+      micro-batch, so the history table can grow between batches
+      without restarting the query.  At 100 TB of history, pre-filter
+      with a broadcast Bloom of the history fingerprints
+      (:func:`joi_spark.operators.sketches.bloom_probe`) so the anti
+      join shuffles only probable-duplicate rows; definite-new rows
+      (the vast majority) never shuffle.
+
+    Returns the stream with ``fp_col`` added — append-mode sink; pair
+    with :func:`joi_spark.operators.dedup.exact_duplicates` semantics
+    on the batch side (same fingerprint definition ⇒ the batch and
+    streaming dedup decisions agree).
+    """
+    fp = F.sha2(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in key_cols]), 256)
+    out = (stream_df.withColumn(fp_col, fp)
+                    .withWatermark(event_time_col, watermark_delay)
+                    .dropDuplicatesWithinWatermark([fp_col]))
+    if history is not None:
+        hist = history.select(F.col(history_key).alias(fp_col)).distinct()
+        out = out.join(hist, fp_col, "left_anti")
+    return out
+
+
+def corpus_fingerprints(df: DataFrame,
+                        key_cols: tuple[str, ...] = ("text",),
+                        fp_col: str = "fp") -> DataFrame:
+    """The static history side for :func:`stream_dedup`: distinct
+    sha256 fingerprints of an already-ingested corpus, same
+    fingerprint definition as the stream side.  Write once, append
+    per accepted batch."""
+    fp = F.sha2(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in key_cols]), 256)
+    return df.select(fp.alias(fp_col)).distinct()

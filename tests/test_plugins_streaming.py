@@ -308,3 +308,41 @@ def test_stream_drift_flags_shifted_window(spark, stream_dirs):
     want1 = psi({"a": 90, "b": 5, "z": 5}, qf, 100)
     assert got[1] == (want1, True)
     assert want1 > 0.25 and got[0][0] < 0.01
+
+
+def test_stream_dedup_in_stream_and_history(spark, stream_dirs):
+    """In-stream duplicates collapse to one row (watermarked state);
+    fingerprints already in the static history are dropped entirely;
+    the fingerprint definition matches corpus_fingerprints so batch
+    and streaming decisions agree."""
+    import datetime
+
+    from joi_spark.streaming import corpus_fingerprints, stream_dedup
+
+    src, ckpt = stream_dirs
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [(t0, 0, "seen before"),          # in history -> dropped
+            (t0, 1, "fresh text"),           # kept
+            (t0, 2, "fresh text"),           # in-stream dup -> dropped
+            (t0, 3, "also new"),             # kept
+            (t0, 4, None)]                   # null text -> kept once
+    batch = spark.createDataFrame(rows,
+                                  "ts timestamp, doc_id bigint, text string")
+    batch.write.mode("overwrite").parquet(src)
+    hist_docs = spark.createDataFrame([(99, "seen before")],
+                                      "doc_id bigint, text string")
+    history = corpus_fingerprints(hist_docs)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_dedup(stream, watermark_delay="10 minutes",
+                       history=history)
+    q = (out.writeStream.format("memory").queryName("dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, text FROM dedup").collect()
+    kept_texts = sorted((r["text"] or "<null>") for r in got)
+    assert kept_texts == ["<null>", "also new", "fresh text"]
+    # the in-stream dup kept exactly one of doc 1/2
+    ids = {r["doc_id"] for r in got}
+    assert len(ids & {1, 2}) == 1 and {3, 4} <= ids and 0 not in ids
