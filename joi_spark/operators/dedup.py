@@ -715,7 +715,8 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", *,
                    threshold: float = 0.95, n_lists: int = 16,
-                   dim: int | None = None, seed: int = 0) -> DataFrame:
+                   dim: int | None = None, seed: int = 0,
+                   persist_index: bool = True) -> DataFrame:
     """Cluster-then-threshold semantic dedup (SemDeDup, Abbas et al.
     2023, arXiv:2303.09540): assign every embedding to its nearest
     coarse-quantizer centroid, then drop any item that has a
@@ -735,20 +736,31 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     recall-oriented), one-cluster blocking trades recall at the
     cluster boundary for a single-join plan — the paper's trade.
     """
-    from joi_spark.operators.similarity import (dot_pandas_udf,
-                                                ivf_assign, norm_expr,
+    from pyspark import StorageLevel
+    from joi_spark.operators.similarity import (_ivf_probe_pandas_udf,
+                                                dot_pandas_udf,
+                                                ivf_centroids, norm_expr,
                                                 vector_dim)
     dim = vector_dim(df, vec_col, dim)
-    home = ivf_assign(df, id_col, vec_col, n_lists=n_lists, nprobe=1,
-                      dim=dim, seed=seed).select(id_col, "list_id")
-    vec = df.select(F.col(id_col), F.col(vec_col),
-                    norm_expr(vec_col, dim).alias("_nrm"))
-    a = home.join(vec, id_col).select(
-        F.col(id_col).alias("_ida"), "list_id",
-        F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
-    b = home.join(vec, id_col).select(
-        F.col(id_col).alias("_idb"), "list_id",
-        F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
+    cents = ivf_centroids(n_lists, dim, seed)
+    # assignment + norm in ONE map-only projection — no corpus-on-id
+    # self-join anywhere (centroids ride as literals in the UDF)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        norm_expr(vec_col, dim).alias("_nrm"),
+        _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
+        .alias("list_id"))
+    if persist_index:
+        # both pair sides + the final keep join read the same
+        # materialization; persist_index=False for callers managing
+        # cache pressure themselves
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(F.col(id_col).alias("_ida"), "list_id",
+                        F.col(vec_col).alias("_va"),
+                        F.col("_nrm").alias("_na"))
+    b = assigned.select(F.col(id_col).alias("_idb"), "list_id",
+                        F.col(vec_col).alias("_vb"),
+                        F.col("_nrm").alias("_nb"))
     # Arrow-batched dot kept OUT of the join condition (see
     # embedding_near_pairs for the measured reason)
     cs = dot_pandas_udf()(F.col("_va"), F.col("_vb")) \
@@ -759,10 +771,10 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
             .filter(F.col("_cs") >= threshold)
             .groupBy(F.col("_idb").alias(id_col))
             .agg(F.min("_ida").alias("dup_of")))
-    return (home.join(dup, id_col, "left")
-                .select(id_col, "list_id",
-                        F.col("dup_of").isNull().alias("keep"),
-                        "dup_of"))
+    return (assigned.select(id_col, "list_id").join(dup, id_col, "left")
+                    .select(id_col, "list_id",
+                            F.col("dup_of").isNull().alias("keep"),
+                            "dup_of"))
 
 
 # --- duplicated-token-window screening (Lee et al. 2021-style) -------------
