@@ -450,7 +450,8 @@ def build_ivf_index(df: DataFrame, path: str, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_lists: int = 16,
                     centroids: list[list[float]] | None = None,
-                    dim: int | None = None, seed: int = 0) -> None:
+                    dim: int | None = None, seed: int = 0,
+                    files_per_list: int = 1) -> None:
     """Persist the inverted-file index of a vector corpus:
 
     - ``lists/``     — ``(id, vec, list_id)`` PARTITIONED BY list_id,
@@ -468,32 +469,49 @@ def build_ivf_index(df: DataFrame, path: str, *,
     dim = vector_dim(df, vec_col, dim)
     cents = centroids if centroids is not None \
         else ivf_centroids(n_lists, dim, seed)
-    probed = df.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("vec"),
-                       _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
-                       .alias("list_id"))
-    probed.write.mode("overwrite").partitionBy("list_id") \
-        .parquet(f"{path}/lists")
+    _write_ivf_lists(df, path, id_col, vec_col, cents,
+                     mode="overwrite", files_per_list=files_per_list)
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>")
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _write_ivf_lists(df: DataFrame, path: str, id_col: str,
+                     vec_col: str, cents, *, mode: str,
+                     files_per_list: int) -> None:
+    """Shuffle rows to their list's writer task(s) before the
+    partitioned write.  Without this, EVERY input task writes a
+    fragment into every list directory — n_lists × n_tasks small
+    files, the classic dynamic-partition-write explosion (at 16k
+    lists × 10k map tasks that is 10^8 files).  One hash shuffle on
+    (list_id, salt) bounds output at ``files_per_list`` files per
+    list; raise ``files_per_list`` when single lists outgrow a
+    comfortable file size (it salts WITHIN the list, so partition
+    pruning on list_id is unaffected)."""
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_list))
+    probed = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"),
+                       _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
+                       .alias("list_id"),
+                       salt.alias("_salt"))
+    probed.repartition(F.col("list_id"), F.col("_salt")) \
+          .drop("_salt") \
+          .write.mode(mode).partitionBy("list_id") \
+          .parquet(f"{path}/lists")
+
+
 def append_ivf_index(df: DataFrame, path: str, *,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     files_per_list: int = 1) -> None:
     """Assign a new batch to its home lists under the STORED quantizer
     and append — no rebuild, no corpus rescan (list membership of old
     vectors is immutable under a fixed quantizer)."""
     spark = df.sparkSession
     cents = _load_centroids(spark, path)
-    probed = df.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("vec"),
-                       _ivf_probe_pandas_udf(cents, 1)(F.col(vec_col))[0]
-                       .alias("list_id"))
-    probed.write.mode("append").partitionBy("list_id") \
-        .parquet(f"{path}/lists")
+    _write_ivf_lists(df, path, id_col, vec_col, cents,
+                     mode="append", files_per_list=files_per_list)
 
 
 def _load_centroids(spark, path: str) -> list[list[float]]:

@@ -718,3 +718,22 @@ def test_window_dup_stats_null_and_empty_docs(spark):
     assert got[0] == (0, 0.0)
     assert got[1] == (0, 0.0)
     assert got[2] == (1, 0.0)
+
+
+def test_ivf_index_write_bounds_files_per_list(spark, tmp_path):
+    """The index write shuffles rows to their list's writer task —
+    one file per (list, salt), not one per (list, input task)."""
+    import glob
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.5])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>") \
+              .repartition(16)
+    path = str(tmp_path / "ivf_files")
+    SIM.build_ivf_index(df, path, n_lists=4)
+    for d in glob.glob(f"{path}/lists/list_id=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
+    SIM.build_ivf_index(df, path + "2", n_lists=4, files_per_list=3)
+    for d in glob.glob(f"{path}2/lists/list_id=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 3, d
