@@ -540,6 +540,13 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source corpus data card (docs, tokens, exact-dup exposure,
+    language mix) — joi_spark.operators.corpus.corpus_report."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.corpus_report(docs)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     payloads; DuckDB reproduces the sha256-of-ASCII-payload digests."""
@@ -1314,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "window_dedup": q_window_dedup,
         "mix_sample": q_mix_sample,
+        "corpus_report": q_corpus_report,
         "multimodal_features": q_multimodal_features,
         "frame_plan": q_frame_plan,
         "token_stats": q_token_stats,
@@ -1729,6 +1737,39 @@ def oracle_sql() -> dict[str, str]:
                                                  n_lists=8),
         "window_dedup": _window_dedup_oracle(n=8),
         "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
+        "corpus_report": r"""
+            WITH base AS (
+                SELECT doc_id, source AS grp, lang,
+                       COALESCE(len(string_split_regex(trim(text),
+                                                       '\s+')), 0)
+                           AS ntok,
+                       md5(text) AS h
+                FROM documents),
+            dups AS (SELECT h, 1 AS dup FROM base WHERE h IS NOT NULL
+                     GROUP BY h HAVING count(*) >= 2),
+            marked AS (SELECT b.grp, b.ntok, b.lang, d.dup
+                       FROM base b LEFT JOIN dups d USING (h)),
+            stats AS (SELECT grp, count(*) AS n_docs,
+                             sum(ntok) AS n_tokens,
+                             round(avg(ntok), 6) AS avg_tokens,
+                             min(ntok) AS min_tokens,
+                             max(ntok) AS max_tokens,
+                             count(dup) AS dup_docs,
+                             count(DISTINCT lang) AS n_langs
+                      FROM marked GROUP BY grp),
+            lc AS (SELECT grp, lang, count(*) AS c FROM base
+                   WHERE lang IS NOT NULL GROUP BY grp, lang),
+            top AS (SELECT grp, lang AS top_lang FROM (
+                      SELECT grp, lang,
+                             row_number() OVER (PARTITION BY grp
+                                 ORDER BY c DESC, lang) AS rk
+                      FROM lc) WHERE rk = 1)
+            SELECT s.grp AS source, s.n_docs, s.n_tokens, s.avg_tokens,
+                   s.min_tokens, s.max_tokens, s.dup_docs,
+                   round(s.dup_docs / s.n_docs, 6) AS dup_frac,
+                   s.n_langs, t.top_lang
+            FROM stats s LEFT JOIN top t USING (grp)
+        """,
         "lsh_topk": _lsh_topk_oracle(k=5, n_bits=4, n_tables=4),
         "ivf_topk": _ivf_topk_oracle(k=5, n_lists=8, nprobe=3),
         "simhash_pairs": _simhash_oracle(max_hamming=8),

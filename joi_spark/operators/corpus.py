@@ -209,3 +209,62 @@ def split_thresholds(weights: dict[str, float], seed: str = "") -> str:
             f"WHEN substr(md5('{seed}' || ':' || CAST({{id}} AS VARCHAR)),"
             f" 1, 8) < '{thr}' THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def corpus_report(df: DataFrame, *, group_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """Per-group corpus "data card": the one-table summary a training
+    pipeline publishes next to a dataset — ``(group, n_docs,
+    n_tokens, avg_tokens, min_tokens, max_tokens, dup_docs,
+    dup_frac, n_langs, top_lang)``.
+
+    ``dup_docs`` counts docs whose EXACT text occurs in ≥2 documents
+    corpus-wide (cross-group duplicates count in every group holding
+    a copy); ``top_lang`` is the group's modal language, ties to the
+    lexicographically smaller code.
+
+    Shuffle shape: one (md5-of-text) aggregate for the global dup
+    set (16-byte keys, partial-agg'd), an equi-join back, then ONE
+    grouped aggregate per output table + a tiny (group, lang) modal
+    aggregate — all map-side combined; no window over raw docs, no
+    driver loop.  Null texts count as docs with 0 tokens and never
+    as duplicates.
+    """
+    from joi_spark.operators.text import token_count
+    h = F.md5(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.col(group_col).alias("grp"),
+        F.col(lang_col).alias("_lang"),
+        # NOT coalesce: with ANSI off, size(NULL) is -1 (legacy
+        # sizeOfNull), so a null doc would contribute -1 tokens
+        F.when(F.col(text_col).isNull(), F.lit(0))
+         .otherwise(token_count(F.col(text_col))).alias("_ntok"),
+        h.alias("_h"))
+    dups = (base.filter(F.col("_h").isNotNull())
+                .groupBy("_h").agg(F.count(F.lit(1)).alias("_copies"))
+                .filter(F.col("_copies") >= 2)
+                .select("_h", F.lit(1).alias("_dup")))
+    marked = base.join(dups, "_h", "left")
+    stats = (marked.groupBy("grp")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("_ntok").alias("n_tokens"),
+                        F.round(F.avg("_ntok"), 6).alias("avg_tokens"),
+                        F.min("_ntok").alias("min_tokens"),
+                        F.max("_ntok").alias("max_tokens"),
+                        F.count("_dup").alias("dup_docs"),
+                        F.countDistinct("_lang").alias("n_langs")))
+    stats = stats.withColumn(
+        "dup_frac", F.round(F.col("dup_docs") / F.col("n_docs"), 6))
+    lang_counts = (base.filter(F.col("_lang").isNotNull())
+                       .groupBy("grp", "_lang")
+                       .agg(F.count(F.lit(1)).alias("_lc")))
+    w = Window.partitionBy("grp").orderBy(F.desc("_lc"), F.asc("_lang"))
+    top = (lang_counts.withColumn("_rk", F.row_number().over(w))
+                      .filter(F.col("_rk") == 1)
+                      .select("grp", F.col("_lang").alias("top_lang")))
+    return (stats.join(top, "grp", "left")
+                 .select(F.col("grp").alias(group_col),
+                         "n_docs", "n_tokens", "avg_tokens",
+                         "min_tokens", "max_tokens", "dup_docs",
+                         "dup_frac", "n_langs", "top_lang"))

@@ -138,3 +138,40 @@ def test_chunk_documents_empty_and_null_yield_no_chunks(spark):
                                "doc_id bigint, text string")
     rows = CP.chunk_documents(df, chunk_tokens=4).collect()
     assert [(r["doc_id"], r["chunk"]) for r in rows] == [(3, "x y")]
+
+
+def test_corpus_report_per_group_card(spark):
+    from joi_spark.operators.corpus import corpus_report
+    rows = [
+        (0, "a b c", "en", "s1"),
+        (1, "a b c", "en", "s1"),          # exact dup of 0, same group
+        (2, "a b c", "de", "s2"),          # cross-group copy counts too
+        (3, "x y", "de", "s1"),
+        (4, None, "en", "s2"),             # null text: 0 tokens, no dup
+        (5, "p q r s", None, "s2"),        # null lang: excluded from mix
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    got = {r["source"]: r.asDict()
+           for r in corpus_report(df).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert s1["n_docs"] == 3 and s1["n_tokens"] == 3 + 3 + 2
+    assert s1["dup_docs"] == 2 and s1["dup_frac"] == round(2 / 3, 6)
+    assert s1["n_langs"] == 2 and s1["top_lang"] == "de" or \
+           s1["top_lang"] == "en"   # en 2 vs de 1 -> en
+    assert s1["top_lang"] == "en"
+    assert s2["n_docs"] == 3 and s2["dup_docs"] == 1
+    assert s2["n_tokens"] == 3 + 0 + 4
+    assert s2["min_tokens"] == 0 and s2["max_tokens"] == 4
+    assert s2["n_langs"] == 2      # en + de (null excluded)
+    # s2 langs: en(1 from doc4), de(1 from doc2) -> tie, lex smaller
+    assert s2["top_lang"] == "de"
+
+
+def test_corpus_report_modal_lang_tiebreak(spark):
+    from joi_spark.operators.corpus import corpus_report
+    rows = [(0, "t", "zh", "s"), (1, "u", "aa", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    got = corpus_report(df).collect()[0]
+    assert got["top_lang"] == "aa"
