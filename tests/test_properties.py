@@ -180,3 +180,43 @@ def test_template_formula_matches_python(prop_spark, a, b, m):
     })
     row = joi.validate(df, schema, order_by=["id"]).value.first()
     assert row["v"] == float(a * m - b)
+
+
+@given(st.lists(st.text(alphabet="ab xy", min_size=0, max_size=40),
+                min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_window_dup_stats_matches_python_oracle(prop_spark, texts):
+    """Duplicated-window counts on ARBITRARY short texts equal an
+    independent pure-Python implementation (same trim/lower/\\s+
+    tokenization, same cross-document-only semantics)."""
+    import re
+    from collections import defaultdict
+    from joi_spark.operators import dedup as DD
+
+    n = 3
+    docs = list(enumerate(texts))
+
+    def py_windows(text):
+        toks = re.split(r"\s+", text.lower().strip())
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    owners = defaultdict(set)
+    for i, t in docs:
+        for w in set(py_windows(t)):
+            owners[w].add(i)
+    want = {}
+    for i, t in docs:
+        wins = py_windows(t)
+        dup = sum(1 for w in wins if len(owners[w]) >= 2)
+        frac = round(dup / len(wins), 6) if wins else 0.0
+        want[i] = (len(wins), dup, frac)
+
+    df = prop_spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"],
+                         r["dup_fraction"])
+           for r in DD.window_dup_stats(df, n=n).collect()}
+    assert got == want
