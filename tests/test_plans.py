@@ -230,3 +230,17 @@ def test_mix_to_target_broadcasts_rate_table(spark):
     assert "BroadcastHashJoin" in p
     # the corpus side reaches the join without an exchange of doc rows
     assert "CartesianProduct" not in p
+
+
+def test_corpus_report_windows_only_tiny_aggregates(spark):
+    """The modal-language window runs over the (group, lang)
+    AGGREGATE, never over raw documents — no full-corpus sort."""
+    from joi_spark.operators.corpus import corpus_report
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(corpus_report(docs))
+    assert "CartesianProduct" not in p
+    # the window's child must be a HashAggregate, i.e. the window
+    # input is the tiny (grp, lang) count table
+    import re
+    win = p.split("Window")[1] if "Window" in p else ""
+    assert "text" not in win.split("HashAggregate")[0]
