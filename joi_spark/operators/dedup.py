@@ -716,7 +716,8 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", *,
                    threshold: float = 0.95, n_lists: int = 16,
                    dim: int | None = None, seed: int = 0,
-                   persist_index: bool = True) -> DataFrame:
+                   persist_index: bool = True,
+                   max_cluster_size: int | None = None) -> DataFrame:
     """Cluster-then-threshold semantic dedup (SemDeDup, Abbas et al.
     2023, arXiv:2303.09540): assign every embedding to its nearest
     coarse-quantizer centroid, then drop any item that has a
@@ -735,6 +736,16 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     Unlike :func:`embedding_near_pairs` (OR-amplified RP tables,
     recall-oriented), one-cluster blocking trades recall at the
     cluster boundary for a single-join plan — the paper's trade.
+
+    ``max_cluster_size`` is the quadratic-blowup valve (the analogue
+    of ``max_shingle_freq``): a degenerate corpus can collapse into
+    one cluster, making the within-cluster pair join O(n²) no matter
+    how the shuffle is split.  With a cap set, clusters above it are
+    deterministically sub-blocked (salt = ``xxhash64(id) mod
+    ceil(size/cap)``) and pairs generate only WITHIN a sub-block —
+    pair count bounded by ``size·cap`` instead of ``size²``, at a
+    documented recall cost (a dup pair split across sub-blocks is
+    missed; collision probability ``1/n_sub`` per pair).
     """
     from pyspark import StorageLevel
     from joi_spark.operators.similarity import (_ivf_probe_pandas_udf,
@@ -755,17 +766,29 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         # materialization; persist_index=False for callers managing
         # cache pressure themselves
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    a = assigned.select(F.col(id_col).alias("_ida"), "list_id",
+    join_keys = ["list_id"]
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("list_id") \
+                        .agg(F.count(F.lit(1)).alias("_csz"))
+        nsub = F.greatest(
+            F.ceil(F.col("_csz") / F.lit(max_cluster_size)), F.lit(1))
+        assigned = (assigned.join(F.broadcast(sizes), "list_id")
+                            .withColumn("_sub",
+                                        F.pmod(F.xxhash64(F.col(id_col)),
+                                               nsub))
+                            .drop("_csz"))
+        join_keys = ["list_id", "_sub"]
+    a = assigned.select(F.col(id_col).alias("_ida"), *join_keys,
                         F.col(vec_col).alias("_va"),
                         F.col("_nrm").alias("_na"))
-    b = assigned.select(F.col(id_col).alias("_idb"), "list_id",
+    b = assigned.select(F.col(id_col).alias("_idb"), *join_keys,
                         F.col(vec_col).alias("_vb"),
                         F.col("_nrm").alias("_nb"))
     # Arrow-batched dot kept OUT of the join condition (see
     # embedding_near_pairs for the measured reason)
     cs = dot_pandas_udf()(F.col("_va"), F.col("_vb")) \
         / (F.col("_na") * F.col("_nb"))
-    dup = (a.join(b, "list_id")
+    dup = (a.join(b, join_keys)
             .filter(F.col("_ida") < F.col("_idb"))
             .withColumn("_cs", F.round(cs, 6))
             .filter(F.col("_cs") >= threshold)

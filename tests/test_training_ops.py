@@ -737,3 +737,28 @@ def test_ivf_index_write_bounds_files_per_list(spark, tmp_path):
     for d in glob.glob(f"{path}2/lists/list_id=*"):
         files = glob.glob(f"{d}/*.parquet")
         assert 1 <= len(files) <= 3, d
+
+
+def test_semantic_dedup_max_cluster_size_bounds_pairs(spark):
+    """A degenerate corpus (all vectors identical -> one cluster)
+    with the cap set dedups within deterministic sub-blocks: each
+    sub-block keeps exactly its minimum id, so the kept count equals
+    the number of non-empty sub-blocks — bounded, not 1, and far
+    from n."""
+    import math
+    n = 60
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    uncapped = DD.semantic_dedup(df, threshold=0.99, n_lists=4)
+    assert uncapped.filter(F.col("keep")).count() == 1
+    capped = DD.semantic_dedup(df, threshold=0.99, n_lists=4,
+                               max_cluster_size=10)
+    kept = capped.filter(F.col("keep")).count()
+    n_sub = math.ceil(n / 10)
+    assert 1 <= kept <= n_sub
+    # deterministic: same result under a different partition layout
+    capped2 = DD.semantic_dedup(df.repartition(7), threshold=0.99,
+                                n_lists=4, max_cluster_size=10)
+    got1 = sorted(r["vec_id"] for r in capped.filter("keep").collect())
+    got2 = sorted(r["vec_id"] for r in capped2.filter("keep").collect())
+    assert got1 == got2
