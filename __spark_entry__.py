@@ -530,6 +530,14 @@ def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.window_dup_stats(docs, n=8)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merged token intervals of cross-document-duplicated 8-token
+    windows (the spans exact-substring dedup would cut) —
+    joi_spark.operators.dedup.duplicated_spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicated_spans(docs, n=8)
+
+
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """domain-mixture resampling to target proportions
     (joi_spark.operators.sampling.mix_to_target): declarative rate
@@ -1122,6 +1130,39 @@ def _window_dedup_oracle(n: int = 8) -> str:
     """
 
 
+def _dup_spans_oracle(n: int = 8) -> str:
+    """Mirrors joi_spark.operators.dedup.duplicated_spans: identical
+    window keys, gaps-and-islands merge (break when the next start
+    exceeds previous start + n)."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)),
+                                             '\\s+') AS tok
+                   FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id, i,
+                       md5(array_to_string(tok[i:i+{n - 1}], ' ')) AS w
+                FROM t, unnest(generate_series(1, len(tok) - {n - 1}))
+                     AS u(i)),
+        shared AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM pos)
+                   GROUP BY w HAVING count(*) >= 2),
+        dup AS (SELECT p.doc_id, p.i FROM pos p JOIN shared s
+                USING (w)),
+        brk AS (SELECT doc_id, i,
+                       CASE WHEN i > COALESCE(lag(i) OVER (
+                                PARTITION BY doc_id ORDER BY i) + {n},
+                                -1) THEN 1 ELSE 0 END AS b
+                FROM dup),
+        isl AS (SELECT doc_id, i,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING) AS g
+                FROM brk)
+        SELECT doc_id, min(i) AS span_start,
+               max(i) + {n - 1} AS span_end,
+               count(*) AS n_dup_windows
+        FROM isl GROUP BY doc_id, g
+    """
+
+
 def _mix_sample_oracle(targets: dict[str, float],
                        seed: str = "mix") -> str:
     """Mirrors joi_spark.operators.sampling.mix_to_target: same
@@ -1320,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near": q_embedding_near,
         "semantic_dedup": q_semantic_dedup,
         "window_dedup": q_window_dedup,
+        "dup_spans": q_dup_spans,
         "mix_sample": q_mix_sample,
         "corpus_report": q_corpus_report,
         "multimodal_features": q_multimodal_features,
@@ -1736,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(threshold=0.45,
                                                  n_lists=8),
         "window_dedup": _window_dedup_oracle(n=8),
+        "dup_spans": _dup_spans_oracle(n=8),
         "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
         "corpus_report": r"""
             WITH base AS (

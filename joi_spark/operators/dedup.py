@@ -848,6 +848,52 @@ def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
                           frac.alias("dup_fraction"))
 
 
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *, n: int = 8) -> DataFrame:
+    """WHERE the duplicated text lives: per document, the merged
+    1-based token intervals covered by cross-document-duplicated
+    ``n``-token windows — the spans Lee et al. 2021 actually cut,
+    where :func:`window_dup_stats` only scores exposure.  Returns
+    ``(id, span_start, span_end, n_dup_windows)``; documents with no
+    duplicated window emit no rows.
+
+    Same inverted-index shuffle shape as the stats (only (id, pos,
+    16-byte key) rows move); interval merging is a classic
+    gaps-and-islands pass — lag + running sum over a PER-DOCUMENT
+    window, so the sort is bounded by document length, never
+    corpus-wide.  Two windows merge when their token ranges overlap
+    or touch (next start ≤ previous start + n).
+    """
+    from pyspark.sql import Window
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (df.select(F.col(id_col).alias("id"),
+                     F.posexplode(wins).alias("_p", "_w"))
+             .select("id", (F.col("_p") + 1).alias("_i"), "_w"))
+    shared = (pos.select("id", "_w").distinct()
+                 .groupBy("_w").agg(F.count(F.lit(1)).alias("_nd"))
+                 .filter(F.col("_nd") >= 2).select("_w"))
+    dup = pos.join(shared, "_w").select("id", "_i")
+    w = Window.partitionBy("id").orderBy("_i")
+    brk = F.when(
+        F.col("_i") > F.coalesce(F.lag("_i").over(w) + n,
+                                 F.lit(-1)), 1).otherwise(0)
+    isl = (dup.withColumn("_brk", brk)
+              .withColumn("_isl", F.sum("_brk").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("id", "_isl")
+               .agg(F.min("_i").alias("span_start"),
+                    (F.max("_i") + (n - 1)).alias("span_end"),
+                    F.count(F.lit(1)).alias("n_dup_windows"))
+               .select(F.col("id").alias(id_col), "span_start",
+                       "span_end", "n_dup_windows"))
+
+
 def window_dedup_filter(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, n: int = 8,
                         max_dup_fraction: float = 0.5) -> DataFrame:

@@ -762,3 +762,29 @@ def test_semantic_dedup_max_cluster_size_bounds_pairs(spark):
     got1 = sorted(r["vec_id"] for r in capped.filter("keep").collect())
     got2 = sorted(r["vec_id"] for r in capped2.filter("keep").collect())
     assert got1 == got2
+
+
+def test_duplicated_spans_merge_and_isolate(spark):
+    shared = "a b c d e f g h"
+    rows = [(0, shared + " u1 u2 u3 " + shared),   # two separate spans
+            (1, shared),
+            (2, "q r s t u v w x"),                # no dup -> no rows
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                  r["n_dup_windows"])
+                 for r in DD.duplicated_spans(df, n=8).collect())
+    assert got == [(0, 1, 8, 1), (0, 12, 19, 1), (1, 1, 8, 1)]
+
+
+def test_duplicated_spans_overlapping_windows_merge(spark):
+    # doc 0/1 share a 9-token run -> two overlapping 8-windows merge
+    # into ONE [1, 9] span with 2 windows
+    run = "a b c d e f g h i"
+    rows = [(0, run), (1, run + " zz1 zz2")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["span_start"], r["span_end"],
+                         r["n_dup_windows"])
+           for r in DD.duplicated_spans(df, n=8).collect()}
+    assert got[0] == (1, 9, 2)
+    assert got[1] == (1, 9, 2)
