@@ -829,7 +829,13 @@ def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
     ).otherwise(F.array().cast("array<string>"))
-    pos = df.select(F.col(id_col).alias("id"),
+    # fan out before the window-hash explode — a single-file input
+    # otherwise computes every md5 on one core (same rationale as
+    # _minhash_artifacts; at production scale the input arrives
+    # pre-split and this is a cheap doc-once shuffle)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = df.repartition(par, id_col) \
+            .select(F.col(id_col).alias("id"),
                     F.explode_outer(wins).alias("_w"))
     docwins = pos.filter(F.col("_w").isNotNull()).distinct()
     shared = (docwins.groupBy("_w")
@@ -872,7 +878,10 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
     ).otherwise(F.array().cast("array<string>"))
-    pos = (df.select(F.col(id_col).alias("id"),
+    # fan out before the window-hash explode (see window_dup_stats)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = (df.repartition(par, id_col)
+             .select(F.col(id_col).alias("id"),
                      F.posexplode(wins).alias("_p", "_w"))
              .select("id", (F.col("_p") + 1).alias("_i"), "_w"))
     shared = (pos.select("id", "_w").distinct()
