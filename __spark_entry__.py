@@ -538,6 +538,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicated_spans(docs, n=8)
 
 
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the cut step: rebuild each document with its duplicated spans
+    removed (canonical token form) —
+    joi_spark.operators.dedup.cut_duplicated_spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.cut_duplicated_spans(docs, n=8)
+
+
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """domain-mixture resampling to target proportions
     (joi_spark.operators.sampling.mix_to_target): declarative rate
@@ -1130,6 +1138,44 @@ def _window_dedup_oracle(n: int = 8) -> str:
     """
 
 
+def _cut_spans_oracle(n: int = 8) -> str:
+    """Mirrors joi_spark.operators.dedup.cut_duplicated_spans:
+    span CTEs as _dup_spans_oracle, then rebuild each doc from the
+    tokens OUTSIDE any span (ordered string_agg = the canonical
+    lowercased single-space form both engines share)."""
+    spans_body = _dup_spans_oracle(n).strip()
+    assert spans_body.startswith("WITH ")
+    return f"""
+        {spans_body[:spans_body.rindex("SELECT doc_id, min(i)")]},
+        spans AS (SELECT doc_id, min(i) AS s, max(i) + {n - 1} AS e
+                  FROM isl GROUP BY doc_id, g),
+        tokpos AS (SELECT t.doc_id, t.tok[i] AS tk, i
+                   FROM t, unnest(generate_series(1, len(t.tok)))
+                        AS u(i)),
+        kept AS (SELECT tp.doc_id, tp.tk, tp.i FROM tokpos tp
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                       WHERE s.doc_id = tp.doc_id
+                         AND tp.i BETWEEN s.s AND s.e)),
+        agg AS (SELECT doc_id,
+                       string_agg(tk, ' ' ORDER BY i) AS ct,
+                       count(*) AS n_keep
+                FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(a.ct, '') END AS clean_text,
+               CASE WHEN d.text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(lower(d.text)),
+                                                '\\s+')) END
+                   AS n_tokens,
+               CASE WHEN d.text IS NULL THEN 0
+                    ELSE len(string_split_regex(trim(lower(d.text)),
+                                                '\\s+'))
+                         - COALESCE(a.n_keep, 0) END
+                   AS n_tokens_removed
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _dup_spans_oracle(n: int = 8) -> str:
     """Mirrors joi_spark.operators.dedup.duplicated_spans: identical
     window keys, gaps-and-islands merge (break when the next start
@@ -1362,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "window_dedup": q_window_dedup,
         "dup_spans": q_dup_spans,
+        "cut_spans": q_cut_spans,
         "mix_sample": q_mix_sample,
         "corpus_report": q_corpus_report,
         "multimodal_features": q_multimodal_features,
@@ -1779,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
                                                  n_lists=8),
         "window_dedup": _window_dedup_oracle(n=8),
         "dup_spans": _dup_spans_oracle(n=8),
+        "cut_spans": _cut_spans_oracle(n=8),
         "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
         "corpus_report": r"""
             WITH base AS (

@@ -903,6 +903,54 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                        "span_end", "n_dup_windows"))
 
 
+def cut_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         n: int = 8) -> DataFrame:
+    """Materialize the surgically-deduped corpus: remove every token
+    inside a cross-document-duplicated span (:func:`duplicated_spans`)
+    and rebuild the text — the cut step of Lee et al. 2021, after the
+    screen (:func:`window_dup_stats`) and locate steps.  Returns
+    ``(id, clean_text, n_tokens, n_tokens_removed)``.
+
+    The rebuilt text is the CANONICAL token form (lowercased,
+    single-space-joined — the same normalization the window keys use;
+    cutting byte ranges from raw text would desynchronize from the
+    token indices).  Docs without duplicated spans round-trip to
+    their canonical form; null texts stay null.
+
+    Plan: spans collect per doc into an array (tiny — merged
+    intervals), broadcast/AQE left join back onto the corpus, then a
+    single higher-order ``filter((tok, i) -> no span covers i+1)``
+    projection — the cut itself is map-only, no UDF.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    spans = (duplicated_spans(df, id_col, text_col, n=n)
+             .groupBy(id_col)
+             .agg(F.collect_list(
+                 F.struct(F.col("span_start").alias("s"),
+                          F.col("span_end").alias("e"))).alias("_spans")))
+    joined = df.select(F.col(id_col), F.col(text_col)) \
+               .join(spans, id_col, "left")
+    sp = F.coalesce(F.col("_spans"),
+                    F.array().cast("array<struct<s:long,e:long>>"))
+    keep = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp, lambda r: (F.lit(i) + 1 >= r["s"])
+            & (F.lit(i) + 1 <= r["e"])))
+    clean = F.when(F.col(text_col).isNull(),
+                   F.lit(None).cast("string")) \
+             .otherwise(F.array_join(keep, " "))
+    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)) \
+             .otherwise(F.size(toks))
+    n_keep = F.when(F.col(text_col).isNull(), F.lit(0)) \
+              .otherwise(F.size(keep))
+    return joined.select(
+        F.col(id_col), clean.alias("clean_text"),
+        n_tok.alias("n_tokens"),
+        (n_tok - n_keep).alias("n_tokens_removed"))
+
+
 def window_dedup_filter(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, n: int = 8,
                         max_dup_fraction: float = 0.5) -> DataFrame:

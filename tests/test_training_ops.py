@@ -788,3 +788,17 @@ def test_duplicated_spans_overlapping_windows_merge(spark):
            for r in DD.duplicated_spans(df, n=8).collect()}
     assert got[0] == (1, 9, 2)
     assert got[1] == (1, 9, 2)
+
+
+def test_cut_duplicated_spans_rebuild(spark):
+    shared = "A b c d e f g h"          # uppercase -> canonical lower
+    rows = [(0, shared + " u1 u2 u3 " + shared), (1, shared),
+            (2, "q r s t u v w x"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"],
+                         r["n_tokens_removed"])
+           for r in DD.cut_duplicated_spans(df, n=8).collect()}
+    assert got[0] == ("u1 u2 u3", 19, 16)
+    assert got[1] == ("", 8, 8)          # fully duplicated -> empty
+    assert got[2] == ("q r s t u v w x", 8, 0)
+    assert got[3] == (None, 0, 0)
