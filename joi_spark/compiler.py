@@ -1214,6 +1214,24 @@ def compile_table(schema: Schema, df: DataFrame, *,
     merged_prefs = {**DEFAULT_PREFS, **(prefs or {}),
                     **(schema._preferences or {})}
     context = {**merged_prefs.get("context", {}), **(context or {})}
+    lang = (merged_prefs.get("errors") or {}).get("language")
+    if lang is not None and not isinstance(lang, str):
+        # the reference resolves a ref-valued language per VALUE at
+        # error time (lib/errors.js:121-126); per-row language
+        # switching has no compiled-message equivalent — documented
+        # divergence, reject loudly instead of mis-rendering
+        raise CompileError("errors.language must be a string "
+                           "(ref-resolvable language is not supported)")
+    prev_lang = E.set_active_language(lang)
+    try:
+        return _compile_table_inner(schema, df, merged_prefs, context)
+    finally:
+        E.set_active_language(prev_lang)
+
+
+def _compile_table_inner(schema: Schema, df: DataFrame,
+                         merged_prefs: dict,
+                         context: dict) -> CompiledPlan:
     plan = CompiledPlan()
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     ctx = _Ctx(list(df.columns), {}, merged_prefs, context,

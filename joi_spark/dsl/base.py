@@ -292,9 +292,28 @@ class Schema:
         n._rules[-1].message = msg
         return n
 
-    def messages(self, overrides: dict[str, str]) -> "Schema":
+    def messages(self, overrides: dict) -> "Schema":
+        """Message overrides — flat ``{code: template}`` or
+        language-keyed ``{language: {code: template}}``; the active
+        set is chosen by ``prefs={"errors": {"language": ...}}``
+        with flat fallback (reference: lib/messages.js:40-67 compile,
+        lib/errors.js:121-135 resolve).  Repeat calls MERGE within a
+        language, as the reference's messages.merge does."""
         n = self.clone()
-        n._messages.update(overrides)
+        for code, msg in overrides.items():
+            if isinstance(msg, dict):
+                for c2, m2 in msg.items():
+                    if not isinstance(m2, str):
+                        raise ValueError(
+                            f"Invalid message for {c2} in {code}")
+                cur = n._messages.get(code)
+                merged = dict(cur) if isinstance(cur, dict) else {}
+                merged.update(msg)
+                n._messages[code] = merged
+            elif isinstance(msg, str):
+                n._messages[code] = msg
+            else:
+                raise ValueError(f"Invalid message for {code}")
         return n
 
     def error(self, msg: str) -> "Schema":

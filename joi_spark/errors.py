@@ -223,6 +223,33 @@ def stringify(value: Any, wrap_arrays: bool = True) -> str:
 
 # --- rendering -----------------------------------------------------------
 
+# Message-set language selected by prefs["errors"]["language"]
+# (reference: lib/errors.js:121-135).  Set for the duration of one
+# compile_table call (compilation is single-threaded driver work);
+# messages()[lang][code] wins over the flat messages()[code].
+_ACTIVE_LANGUAGE: str | None = None
+
+
+def set_active_language(lang: str | None) -> str | None:
+    global _ACTIVE_LANGUAGE
+    prev = _ACTIVE_LANGUAGE
+    _ACTIVE_LANGUAGE = lang
+    return prev
+
+
+def _override(overrides: dict | None, code: str) -> str | None:
+    """Language-aware override lookup — the table analogue of the
+    reference's internals.template (lib/errors.js:112-135)."""
+    if not overrides:
+        return None
+    if _ACTIVE_LANGUAGE:
+        sub = overrides.get(_ACTIVE_LANGUAGE)
+        if isinstance(sub, dict) and code in sub:
+            return sub[code]
+    v = overrides.get(code)
+    return v if isinstance(v, str) else None
+
+
 def render_static(code: str, ctx: dict[str, Any], *,
                   overrides: dict[str, str] | None = None) -> str | None:
     """Render a template whose placeholders are all schema-side.
@@ -230,7 +257,7 @@ def render_static(code: str, ctx: dict[str, Any], *,
     Returns None if the template needs the row value ({[.]}) — use
     :func:`render_column` for those.
     """
-    template = (overrides or {}).get(code) or MESSAGES[code]
+    template = _override(overrides, code) or MESSAGES[code]
     if "{[.]}" in template:
         return None
     return _interpolate(template, ctx)
@@ -300,7 +327,7 @@ def _interpolate(template: str, ctx: dict[str, Any]) -> str:
 def render_column(code: str, ctx: dict[str, Any], value_col: Column, *,
                   overrides: dict[str, str] | None = None) -> Column:
     """Render to a Column; value placeholder {[.]} splices the row value."""
-    template = (overrides or {}).get(code) or MESSAGES[code]
+    template = _override(overrides, code) or MESSAGES[code]
     static = render_static(code, ctx, overrides=overrides)
     if static is not None:
         return F.lit(static)

@@ -133,3 +133,57 @@ def test_schema_surgery_ops():
     assert t.tailor("dev")._flags.get("presence") is None
     o = joi.object({"k": joi.string().alter({"p": lambda x: x.min(3)})})
     assert o.tailor("p").extract("k").get_rule("min") is not None
+
+
+def test_messages_language_selection(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "ab")], "id bigint, username string")
+    schema = joi.object({
+        "username": joi.string().min(4).messages({
+            "string.min": "default too short",
+            "english": {"string.min": "english too short"},
+        }),
+    })
+    def msg(prefs):
+        return joi.validate(df, schema, prefs=prefs,
+                            order_by=["id"]).violations() \
+                  .collect()[0]["message"]
+    assert msg(None) == "default too short"
+    assert msg({"errors": {"language": "english"}}) == "english too short"
+    # unknown language falls back to the flat set (reference
+    # lib/errors.js:127-135)
+    assert msg({"errors": {"language": "nope"}}) == "default too short"
+
+
+def test_messages_language_merge_and_validation(spark):
+    import joi_spark as joi
+    s = joi.string().messages({"english": {"string.min": "a"}}) \
+                    .messages({"english": {"string.max": "b"}})
+    assert s._messages["english"] == {"string.min": "a",
+                                      "string.max": "b"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        joi.string().messages({"english": {"string.min": 3}})
+    with _pt.raises(ValueError):
+        joi.string().messages({"string.min": 3})
+
+
+def test_messages_language_ref_raises(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "ab")], "id bigint, u string")
+    schema = joi.object({"u": joi.string().min(4)})
+    with pytest.raises(Exception, match="language"):
+        joi.validate(df, schema,
+                     prefs={"errors": {"language": joi.ref("$lang")}},
+                     order_by=["id"])
+
+
+def test_messages_language_describe_roundtrip(spark):
+    import joi_spark as joi
+    s = joi.string().min(4).messages({
+        "string.min": "flat",
+        "english": {"string.min": "en"},
+    })
+    d = s.describe()
+    rebuilt = joi.build(d)
+    assert rebuilt._messages == s._messages
