@@ -41,6 +41,7 @@ DEFAULT_PREFS = {
                              # restores strict behavior
     "strip_unknown": False,
     "presence": "optional",
+    "no_defaults": False,
     "context": {},
 }
 
@@ -1160,9 +1161,12 @@ def _emit_output(schema: Schema, name: str, conv: Column,
         return F.lit(v)
 
     out = conv
-    if "default" in schema._flags:
+    no_defaults = ctx.prefs.get("no_defaults", False)
+    if "default" in schema._flags and not no_defaults:
+        # prefs.no_defaults skips default (and failover) application,
+        # reference: lib/validator.js:452-456 internals.default
         out = F.coalesce(out, dynamic(schema._flags["default"]))
-    if "failover" in schema._flags:
+    if "failover" in schema._flags and not no_defaults:
         fo = schema._flags["failover"]
         col_ok = F.lit(True)
         for c in plan.checks:
@@ -1214,7 +1218,8 @@ def compile_table(schema: Schema, df: DataFrame, *,
     merged_prefs = {**DEFAULT_PREFS, **(prefs or {}),
                     **(schema._preferences or {})}
     context = {**merged_prefs.get("context", {}), **(context or {})}
-    lang = (merged_prefs.get("errors") or {}).get("language")
+    err = merged_prefs.get("errors") or {}
+    lang = err.get("language")
     if lang is not None and not isinstance(lang, str):
         # the reference resolves a ref-valued language per VALUE at
         # error time (lib/errors.js:121-126); per-row language
@@ -1222,11 +1227,17 @@ def compile_table(schema: Schema, df: DataFrame, *,
         # divergence, reject loudly instead of mis-rendering
         raise CompileError("errors.language must be a string "
                            "(ref-resolvable language is not supported)")
-    prev_lang = E.set_active_language(lang)
+    unknown = set(err) - {"language", "wrap_arrays", "escape_html"}
+    if unknown:
+        raise CompileError(f"unknown errors preferences: {sorted(unknown)}")
+    prev = E.set_error_prefs({
+        "language": lang,
+        "wrap_arrays": err.get("wrap_arrays", True),
+        "escape_html": err.get("escape_html", False)})
     try:
         return _compile_table_inner(schema, df, merged_prefs, context)
     finally:
-        E.set_active_language(prev_lang)
+        E.set_error_prefs(prev)
 
 
 def _compile_table_inner(schema: Schema, df: DataFrame,

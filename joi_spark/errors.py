@@ -223,18 +223,30 @@ def stringify(value: Any, wrap_arrays: bool = True) -> str:
 
 # --- rendering -----------------------------------------------------------
 
-# Message-set language selected by prefs["errors"]["language"]
-# (reference: lib/errors.js:121-135).  Set for the duration of one
-# compile_table call (compilation is single-threaded driver work);
-# messages()[lang][code] wins over the flat messages()[code].
-_ACTIVE_LANGUAGE: str | None = None
+# Error-rendering preferences from prefs["errors"] (reference:
+# lib/common.js:27-32 defaults), active for the duration of one
+# compile_table call (compilation is single-threaded driver work):
+# - language: messages()[lang][code] wins over flat messages()[code]
+#   (lib/errors.js:121-135);
+# - wrap_arrays: array values stringify with/without [ ]
+#   (lib/template.js:331);
+# - escape_html: single-brace (non-raw) substitutions HTML-escape
+#   (lib/template.js:185; double-brace is the raw form).
+_ERROR_PREFS: dict = {"language": None, "wrap_arrays": True,
+                      "escape_html": False}
 
 
-def set_active_language(lang: str | None) -> str | None:
-    global _ACTIVE_LANGUAGE
-    prev = _ACTIVE_LANGUAGE
-    _ACTIVE_LANGUAGE = lang
+def set_error_prefs(new: dict) -> dict:
+    global _ERROR_PREFS
+    prev = _ERROR_PREFS
+    _ERROR_PREFS = {**prev, **new}
     return prev
+
+
+def _escape_html(s: str) -> str:
+    # Hoek.escapeHtml's named-entity set
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def _override(overrides: dict | None, code: str) -> str | None:
@@ -242,8 +254,9 @@ def _override(overrides: dict | None, code: str) -> str | None:
     reference's internals.template (lib/errors.js:112-135)."""
     if not overrides:
         return None
-    if _ACTIVE_LANGUAGE:
-        sub = overrides.get(_ACTIVE_LANGUAGE)
+    lang = _ERROR_PREFS["language"]
+    if lang:
+        sub = overrides.get(lang)
         if isinstance(sub, dict) and code in sub:
             return sub[code]
     v = overrides.get(code)
@@ -311,13 +324,17 @@ def _interpolate(template: str, ctx: dict[str, Any]) -> str:
     import re as _re
 
     def repl(m):
-        if m.group(1) is not None:
-            return stringify(ctx.get(m.group(1), ""), wrap_arrays=True)
-        if m.group(2) is not None:
-            return stringify(ctx.get(m.group(2), ""), wrap_arrays=False)
+        wrap_pref = _ERROR_PREFS["wrap_arrays"]
+        esc = _escape_html if _ERROR_PREFS["escape_html"] else (lambda s: s)
+        if m.group(1) is not None:          # double-brace: raw, wrapped
+            return stringify(ctx.get(m.group(1), ""),
+                             wrap_arrays=wrap_pref)
+        if m.group(2) is not None:          # single-brace: escaped
+            return esc(stringify(ctx.get(m.group(2), ""),
+                                 wrap_arrays=False))
         try:
-            return stringify(_eval_formula(m.group(3), ctx),
-                             wrap_arrays=False)
+            return esc(stringify(_eval_formula(m.group(3), ctx),
+                                 wrap_arrays=False))
         except Exception:
             return m.group(0)   # non-evaluable braces pass through
     return _re.sub(
@@ -335,7 +352,15 @@ def render_column(code: str, ctx: dict[str, Any], value_col: Column, *,
     cols: list[Column] = []
     for i, part in enumerate(parts):
         if i:
-            cols.append(F.coalesce(value_col.cast("string"), F.lit("null")))
+            v = F.coalesce(value_col.cast("string"), F.lit("null"))
+            if _ERROR_PREFS["escape_html"]:
+                # {[.]} is a single-brace (non-raw) substitution —
+                # Column-side Hoek.escapeHtml; & first so entities
+                # from later passes aren't double-escaped
+                for ch, ent in (("&", "&amp;"), ("<", "&lt;"),
+                                (">", "&gt;"), ('"', "&quot;")):
+                    v = F.replace(v, F.lit(ch), F.lit(ent))
+            cols.append(v)
         if part:
             cols.append(F.lit(_interpolate(part, ctx)))
     return F.concat(*cols)

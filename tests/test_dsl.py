@@ -187,3 +187,45 @@ def test_messages_language_describe_roundtrip(spark):
     d = s.describe()
     rebuilt = joi.build(d)
     assert rebuilt._messages == s._messages
+
+
+def test_errors_prefs_escape_html_and_wrap_arrays(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "<bad&val>")], "id bigint, v string")
+    s = joi.object({"v": joi.string().valid("a<b").messages(
+        {"any.only": "bad {#valids} raw {{#valids}} val {[.]}"})})
+    def msg(prefs):
+        return joi.validate(df, s, prefs=prefs,
+                            order_by=["id"]).violations() \
+                  .collect()[0]["message"]
+    # single-brace substitutions escape; double-brace stays raw
+    assert msg(None) == "bad a<b raw [a<b] val <bad&val>"
+    assert msg({"errors": {"escape_html": True}}) == \
+        "bad a&lt;b raw [a<b] val &lt;bad&amp;val&gt;"
+    s2 = joi.object({"v": joi.string().valid("x", "y").messages(
+        {"any.only": "not in {{#valids}}"})})
+    got = joi.validate(df, s2,
+                       prefs={"errors": {"wrap_arrays": False}},
+                       order_by=["id"]).violations() \
+             .collect()[0]["message"]
+    assert got == "not in x, y"
+
+
+def test_errors_prefs_unknown_key_raises(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    s = joi.object({"v": joi.string()})
+    with pytest.raises(Exception, match="unknown errors preferences"):
+        joi.validate(df, s, prefs={"errors": {"bogus": 1}},
+                     order_by=["id"])
+
+
+def test_no_defaults_pref_skips_default_and_failover(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, None)], "id bigint, v string")
+    s = joi.object({"v": joi.string().default("dflt")})
+    assert joi.validate(df, s, order_by=["id"]).value \
+              .collect()[0]["v"] == "dflt"
+    assert joi.validate(df, s, prefs={"no_defaults": True},
+                        order_by=["id"]).value \
+              .collect()[0]["v"] is None
