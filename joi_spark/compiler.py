@@ -838,7 +838,10 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
         mctx = {"label": label, **mctx}
         ov = dict(overrides)
         if message_override:
-            ov[code] = message_override
+            # rule-level message() keeps TOP precedence — above
+            # prefs.messages (reference: lib/errors.js:68-70 checks
+            # this.template first)
+            ov[("rule", code)] = message_override
         if error_flag is not None:
             # error() replaces EVERY error of this schema
             # (reference: lib/base.js:136-142)
@@ -1061,8 +1064,10 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
         emit(_or_all(preds), "alternatives.any", {}, guard=rule_guard)
 
     # external hooks: Arrow-batched post-validation
-    # (reference: lib/base.js:152-157, lib/validator.js:51-86)
-    for ext in schema._terms.get("externals") or []:
+    # (reference: lib/base.js:152-157, lib/validator.js:51-86;
+    # prefs.externals=False skips them entirely, validator.js:401-403)
+    for ext in (schema._terms.get("externals") or []
+                if ctx.prefs.get("externals", True) else []):
         from joi_spark.functions.udfs import external_message_udf
         msg_col = external_message_udf(ext["method"])(conv)
         emit(msg_col.isNull(), ext.get("code", "external.check"), {},
@@ -1233,7 +1238,8 @@ def compile_table(schema: Schema, df: DataFrame, *,
     prev = E.set_error_prefs({
         "language": lang,
         "wrap_arrays": err.get("wrap_arrays", True),
-        "escape_html": err.get("escape_html", False)})
+        "escape_html": err.get("escape_html", False),
+        "messages": merged_prefs.get("messages") or None})
     try:
         return _compile_table_inner(schema, df, merged_prefs, context)
     finally:

@@ -233,7 +233,7 @@ def stringify(value: Any, wrap_arrays: bool = True) -> str:
 # - escape_html: single-brace (non-raw) substitutions HTML-escape
 #   (lib/template.js:185; double-brace is the raw form).
 _ERROR_PREFS: dict = {"language": None, "wrap_arrays": True,
-                      "escape_html": False}
+                      "escape_html": False, "messages": None}
 
 
 def set_error_prefs(new: dict) -> dict:
@@ -241,6 +241,18 @@ def set_error_prefs(new: dict) -> dict:
     prev = _ERROR_PREFS
     _ERROR_PREFS = {**prev, **new}
     return prev
+
+
+def _lang_lookup(table: dict | None, code: str) -> str | None:
+    if not table:
+        return None
+    lang = _ERROR_PREFS["language"]
+    if lang:
+        sub = table.get(lang)
+        if isinstance(sub, dict) and code in sub:
+            return sub[code]
+    v = table.get(code)
+    return v if isinstance(v, str) else None
 
 
 def _escape_html(s: str) -> str:
@@ -251,16 +263,16 @@ def _escape_html(s: str) -> str:
 
 def _override(overrides: dict | None, code: str) -> str | None:
     """Language-aware override lookup — the table analogue of the
-    reference's internals.template (lib/errors.js:112-135)."""
-    if not overrides:
-        return None
-    lang = _ERROR_PREFS["language"]
-    if lang:
-        sub = overrides.get(lang)
-        if isinstance(sub, dict) and code in sub:
-            return sub[code]
-    v = overrides.get(code)
-    return v if isinstance(v, str) else None
+    reference's Report.toString precedence (lib/errors.js:68-70):
+    prefs.messages beats the schema's messages() table (both beat
+    the built-ins; rule-level message() bypasses this entirely and
+    keeps top precedence)."""
+    if overrides:
+        rule_tmpl = overrides.get(("rule", code))
+        if isinstance(rule_tmpl, str):
+            return rule_tmpl
+    return (_lang_lookup(_ERROR_PREFS["messages"], code)
+            or _lang_lookup(overrides, code))
 
 
 def render_static(code: str, ctx: dict[str, Any], *,

@@ -229,3 +229,35 @@ def test_no_defaults_pref_skips_default_and_failover(spark):
     assert joi.validate(df, s, prefs={"no_defaults": True},
                         order_by=["id"]).value \
               .collect()[0]["v"] is None
+
+
+def test_prefs_messages_precedence(spark):
+    """rule message() > prefs.messages > schema messages() > builtin
+    (reference: lib/errors.js:68-70 toString resolution order)."""
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "ab")], "id bigint, u string")
+    s = joi.object({"u": joi.string().min(4)
+                        .messages({"string.min": "schema says short"})})
+    def msg(schema, prefs=None):
+        return joi.validate(df, schema, prefs=prefs,
+                            order_by=["id"]).violations() \
+                  .collect()[0]["message"]
+    assert msg(s) == "schema says short"
+    assert msg(s, {"messages": {"string.min": "prefs says short"}}) \
+        == "prefs says short"
+    s2 = joi.object({"u": joi.string().min(4).message("rule wins")})
+    assert msg(s2, {"messages": {"string.min": "prefs"}}) == "rule wins"
+    # prefs.messages is language-aware too
+    assert msg(s, {"messages": {"english": {"string.min": "prefs en"}},
+                   "errors": {"language": "english"}}) == "prefs en"
+
+
+def test_externals_pref_skips_external_rules(spark):
+    import joi_spark as joi
+    df = spark.createDataFrame([(1, "ab")], "id bigint, u string")
+    def flag(series):
+        return series.map(lambda v: "flagged" if v == "ab" else None)
+    s = joi.object({"u": joi.string().external(flag)})
+    assert joi.validate(df, s, order_by=["id"]).violations().count() == 1
+    assert joi.validate(df, s, prefs={"externals": False},
+                        order_by=["id"]).violations().count() == 0
