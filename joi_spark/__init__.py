@@ -121,12 +121,95 @@ def invalid(*values) -> AnySchema:
     return AnySchema().invalid(*values)
 
 
+alt = alternatives   # reference: lib/index.js:67 root.alt
+
+
+# root version string (reference: lib/index.js:80 root.version —
+# reports the mirrored reference surface, engine version separate in
+# __version__)
+version = "16.0.0-rc2"
+
+_KNOWN_PREFS = {"convert", "abort_early", "allow_unknown",
+                "strip_unknown", "presence", "no_defaults", "context",
+                "externals", "messages", "errors", "warnings"}
+_KNOWN_ERROR_PREFS = {"language", "wrap_arrays", "escape_html"}
+
+
+def check_preferences(prefs: dict) -> None:
+    """Validate a preferences dict without compiling anything
+    (reference: lib/index.js:113-117 checkPreferences →
+    lib/common.js:66-73).  Raises ValueError on unknown keys."""
+    if not isinstance(prefs, dict):
+        raise ValueError("preferences must be a dict")
+    unknown = set(prefs) - _KNOWN_PREFS
+    if unknown:
+        raise ValueError(f"unknown preferences: {sorted(unknown)}")
+    err = prefs.get("errors") or {}
+    unknown = set(err) - _KNOWN_ERROR_PREFS
+    if unknown:
+        raise ValueError(f"unknown errors preferences: {sorted(unknown)}")
+    if prefs.get("presence") not in (None, "optional", "required",
+                                     "forbidden"):
+        raise ValueError("presence must be optional/required/forbidden")
+
+
+def types() -> dict:
+    """Fresh instances of every root type, keyed by name
+    (reference: lib/index.js:169-180 root.types)."""
+    return {"any": any_(), "string": string(), "number": number(),
+            "boolean": boolean(), "date": date(), "array": array(),
+            "binary": binary(), "object": object(),
+            "alternatives": alternatives()}
+
+
+class _DefaultsRoot:
+    """A derived root whose type constructors pass through a modifier
+    — ``joi.defaults(lambda s: s.required())`` makes every type
+    required by default (reference: lib/index.js:119-131
+    root.defaults; modifiers COMPOSE on further .defaults calls)."""
+
+    _TYPE_FACTORIES = ("any_", "string", "number", "boolean", "bool_",
+                       "date", "array", "binary", "object",
+                       "alternatives", "alt", "link")
+
+    def __init__(self, modifier, parent=None):
+        if not callable(modifier):
+            raise ValueError("defaults() requires a callable modifier")
+        self._modifier = modifier
+        self._parent = parent
+
+    def _apply(self, schema):
+        if self._parent is not None:
+            schema = self._parent._apply(schema)
+        out = self._modifier(schema)
+        if not is_schema(out):
+            raise ValueError("defaults() modifier must return a schema")
+        return out
+
+    def defaults(self, modifier) -> "_DefaultsRoot":
+        return _DefaultsRoot(modifier, parent=self)
+
+    def __getattr__(self, name):
+        import joi_spark as _root
+        attr = getattr(_root, name)
+        if name in self._TYPE_FACTORIES:
+            def factory(*args, **kwargs):
+                return self._apply(attr(*args, **kwargs))
+            return factory
+        return attr
+
+
+def defaults(modifier) -> _DefaultsRoot:
+    return _DefaultsRoot(modifier)
+
+
 __all__ = [
     "Schema", "Ref", "ref", "is_ref", "is_schema", "compile", "build",
     "Template", "x", "is_expression",
     "manifest_hash", "manifest_json",
     "any_", "string", "number", "boolean", "bool_", "date", "array",
-    "binary", "object", "alternatives", "link", "extend",
+    "binary", "object", "alternatives", "alt", "link", "extend",
     "required", "forbidden", "valid", "invalid",
     "validate", "assert_table", "ValidationResult", "TableValidationError",
+    "version", "check_preferences", "types", "defaults",
 ]

@@ -261,3 +261,39 @@ def test_externals_pref_skips_external_rules(spark):
     assert joi.validate(df, s, order_by=["id"]).violations().count() == 1
     assert joi.validate(df, s, prefs={"externals": False},
                         order_by=["id"]).violations().count() == 0
+
+
+def test_root_defaults_modifier_and_compose(spark):
+    """joi.defaults(fn): every type constructor passes through fn;
+    further .defaults compose (reference: lib/index.js:119-131)."""
+    import joi_spark as joi
+    r = joi.defaults(lambda s: s.required())
+    s = r.object({"a": r.string()})
+    assert s._terms["keys"]["a"]._flags.get("presence") == "required"
+    r2 = r.defaults(lambda s: s.label("X"))
+    s2 = r2.string()
+    assert s2._flags.get("presence") == "required"
+    assert s2._flags.get("label") == "X"
+    df = spark.createDataFrame([(1, None)], "id bigint, a string")
+    v = joi.validate(df, r.object({"a": r.string()}),
+                     order_by=["id"]).violations().collect()
+    assert v[0]["code"] == "any.required"
+    with pytest.raises(ValueError):
+        joi.defaults("not callable")
+    with pytest.raises(ValueError):
+        joi.defaults(lambda s: "not a schema").string()
+
+
+def test_root_check_preferences_and_types():
+    import joi_spark as joi
+    joi.check_preferences({"convert": True,
+                           "errors": {"language": "en"}})
+    for bad in ({"bogus": 1}, {"errors": {"nope": 1}},
+                {"presence": "weird"}):
+        with pytest.raises(ValueError):
+            joi.check_preferences(bad)
+    t = joi.types()
+    assert set(t) == {"any", "string", "number", "boolean", "date",
+                      "array", "binary", "object", "alternatives"}
+    assert joi.alt is joi.alternatives
+    assert joi.version == "16.0.0-rc2"
