@@ -110,6 +110,20 @@ class Values:
         return [_describe_value(v) for v in self.values] + [r.describe() for r in self.refs]
 
 
+def _merge_messages(base: dict, over: dict) -> dict:
+    """Deep message-table merge: flat codes overwrite; language
+    sub-dicts merge PER CODE instead of being clobbered (reference:
+    lib/messages.js merge semantics used by concat)."""
+    out = dict(base)
+    for k, v in over.items():
+        cur = out.get(k)
+        if isinstance(v, dict) and isinstance(cur, dict):
+            out[k] = {**cur, **v}
+        else:
+            out[k] = v
+    return out
+
+
 def _describe_value(v: Any):
     if hasattr(v, "describe"):   # Ref, Schema, Dependency
         return v.describe()
@@ -474,7 +488,7 @@ class Schema:
                 n._invalids.add(v)
             if self._preferences:
                 n._preferences = {**self._preferences, **(n._preferences or {})}
-            n._messages = {**self._messages, **n._messages}
+            n._messages = _merge_messages(self._messages, n._messages)
             return n
         n = self.clone()
         src = other
@@ -492,7 +506,7 @@ class Schema:
             n._invalids.add(v)
         if src._preferences:
             n._preferences = {**(n._preferences or {}), **src._preferences}
-        n._messages.update(src._messages)
+        n._messages = _merge_messages(n._messages, src._messages)
         for k, v in src._terms.items():
             if isinstance(v, list):
                 n._terms[k] = list(n._terms.get(k) or []) + list(v)

@@ -297,3 +297,12 @@ def test_root_check_preferences_and_types():
                       "array", "binary", "object", "alternatives"}
     assert joi.alt is joi.alternatives
     assert joi.version == "16.0.0-rc2"
+
+
+def test_concat_deep_merges_language_messages():
+    import joi_spark as joi
+    a = joi.string().messages({"english": {"string.min": "en min"}})
+    b = joi.string().messages({"english": {"string.max": "en max"}})
+    c = a.concat(b)
+    assert c._messages["english"] == {"string.min": "en min",
+                                      "string.max": "en max"}
