@@ -538,6 +538,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicated_spans(docs, n=8)
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-trained add-k bigram LM fluency scores (CCNet-style
+    quality signal) — joi_spark.operators.text.bigram_lm_scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_lm_scores(docs)
+
+
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the cut step: rebuild each document with its duplicated spans
     removed (canonical token form) —
@@ -1409,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dedup": q_window_dedup,
         "dup_spans": q_dup_spans,
         "cut_spans": q_cut_spans,
+        "lm_scores": q_lm_scores,
         "mix_sample": q_mix_sample,
         "corpus_report": q_corpus_report,
         "multimodal_features": q_multimodal_features,
@@ -1827,6 +1835,33 @@ def oracle_sql() -> dict[str, str]:
         "window_dedup": _window_dedup_oracle(n=8),
         "dup_spans": _dup_spans_oracle(n=8),
         "cut_spans": _cut_spans_oracle(n=8),
+        "lm_scores": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '\s+') AS tok
+                       FROM documents WHERE text IS NOT NULL),
+            pairs AS (SELECT doc_id, tok[i] AS prev, tok[i+1] AS cur
+                      FROM t, unnest(generate_series(1, len(tok) - 1))
+                           AS u(i)),
+            uni AS (SELECT w, count(*) AS cu FROM
+                    (SELECT unnest(tok) AS w FROM t) GROUP BY w),
+            bi AS (SELECT prev, cur, count(*) AS cb FROM pairs
+                   GROUP BY prev, cur),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+            s AS (SELECT p.doc_id, count(*) AS n_bigrams,
+                         avg(ln((bi.cb + 0.5) / (uni.cu + 0.5 * v.v)))
+                             AS alp
+                  FROM pairs p
+                  JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+                  JOIN uni ON p.prev = uni.w
+                  CROSS JOIN v
+                  GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   round(s.alp, 6) AS avg_logp,
+                   round(exp(-s.alp), 6) AS ppl
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
         "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
         "corpus_report": r"""
             WITH base AS (

@@ -331,3 +331,61 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 1000,
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return (ranked.withColumn("rank", F.row_number().over(w))
                   .select("token", "n", "rank"))
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     k_smooth: float = 0.5) -> DataFrame:
+    """Corpus-statistical fluency score (the CCNet-style LM-quality
+    signal, expressed as pure aggregates): train add-k-smoothed
+    bigram statistics ON the corpus itself, then score every document
+    by its mean bigram log-probability.  Returns ``(id, n_bigrams,
+    avg_logp, ppl)`` — low ``avg_logp`` / high ``ppl`` marks
+    improbable token sequences (boilerplate soup, shuffled text,
+    wrong-language fragments).  Docs with fewer than 2 tokens report
+    ``(0, NULL, NULL)``.
+
+        P(w_i | w_{i-1}) = (C(w_{i-1} w_i) + k) / (C(w_{i-1}) + k·V)
+
+    Shuffle shape: unigram and bigram counts are partial-aggregated
+    groupBys (exchange bounded by distinct-n-gram cardinality, which
+    Zipf keeps manageable); V is a one-row aggregate broadcast back;
+    scoring joins each doc's bigram positions to the two count tables
+    on the n-gram key — the inverted-index shape every dedup tier
+    here uses, no UDF anywhere.  The final mean is per-doc.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"), toks.alias("_t"))
+    # (id, prev, cur) positions — arrays_zip of the shifted slices
+    pairs = base.select(
+        "id",
+        F.explode(F.when(
+            F.size("_t") >= 2,
+            F.arrays_zip(F.slice("_t", 1, F.size("_t") - 1),
+                         F.slice("_t", 2, F.size("_t") - 1)))
+            .otherwise(F.array().cast(
+                "array<struct<`0`:string,`1`:string>>"))).alias("_p")) \
+        .select("id", F.col("_p.`0`").alias("prev"),
+                F.col("_p.`1`").alias("cur"))
+    uni = (base.select(F.explode("_t").alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    bi = (pairs.groupBy("prev", "cur")
+               .agg(F.count(F.lit(1)).alias("cb")))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    logp = F.log((F.col("cb") + F.lit(k_smooth))
+                 / (F.col("cu") + F.lit(k_smooth) * F.col("v")))
+    scored = (pairs.join(bi, ["prev", "cur"])
+                   .join(uni, pairs["prev"] == uni["w"])
+                   .crossJoin(F.broadcast(vocab))
+                   .groupBy("id")
+                   .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                        F.avg(logp).alias("_alp")))
+    out = (df.select(F.col(id_col).alias("id")).distinct()
+             .join(scored, "id", "left"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round("_alp", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("_alp")), 6).alias("ppl"))

@@ -308,3 +308,47 @@ def test_mix_to_target_composition_tracks_targets(spark):
     frac = {r["src"]: r["count"] / total for r in got}
     for s, f in tg.items():
         assert abs(frac[s] - f) < 0.05
+
+
+# --- bigram LM quality scores ----------------------------------------------
+
+def test_bigram_lm_scores_rank_fluency(spark):
+    from joi_spark.operators import text as TX
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),   # identical -> same score
+            (2, "mat the on sat cat the"),   # shuffled -> less probable
+            (3, "x"),                        # <2 tokens -> no score
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = {x["doc_id"]: x for x in TX.bigram_lm_scores(df).collect()}
+    assert r[0]["avg_logp"] == r[1]["avg_logp"]
+    assert r[2]["avg_logp"] < r[0]["avg_logp"]
+    assert r[0]["ppl"] < r[2]["ppl"]
+    assert r[3]["n_bigrams"] == 0 and r[3]["avg_logp"] is None
+    assert r[4]["n_bigrams"] == 0 and r[4]["ppl"] is None
+
+
+def test_bigram_lm_scores_match_python_oracle(spark):
+    """Exact parity with an independent pure-python add-k bigram LM
+    on a small corpus (same tokenization, same smoothing)."""
+    import math
+    from collections import Counter
+    from joi_spark.operators import text as TX
+    texts = ["a b a b c", "b a b", "c c a"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        lps = [math.log((bi[(p, c)] + 0.5) / (uni[p] + 0.5 * V))
+               for p, c in zip(toks, toks[1:])]
+        want[i] = round(sum(lps) / len(lps), 6)
+    got = {r["doc_id"]: r["avg_logp"]
+           for r in TX.bigram_lm_scores(df).collect()}
+    assert got == want
