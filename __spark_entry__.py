@@ -545,6 +545,13 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_lm_scores(docs)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document top-3 TF-IDF keywords —
+    joi_spark.operators.text.tfidf_topk_terms."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_topk_terms(docs, k=3)
+
+
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the cut step: rebuild each document with its duplicated spans
     removed (canonical token form) —
@@ -1417,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "cut_spans": q_cut_spans,
         "lm_scores": q_lm_scores,
+        "tfidf_terms": q_tfidf_terms,
         "mix_sample": q_mix_sample,
         "corpus_report": q_corpus_report,
         "multimodal_features": q_multimodal_features,
@@ -1835,6 +1843,33 @@ def oracle_sql() -> dict[str, str]:
         "window_dedup": _window_dedup_oracle(n=8),
         "dup_spans": _dup_spans_oracle(n=8),
         "cut_spans": _cut_spans_oracle(n=8),
+        "tfidf_terms": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)),
+                                                 '\s+') AS tok
+                       FROM documents WHERE text IS NOT NULL),
+            pos AS (SELECT doc_id, len(tok) AS l, unnest(tok) AS token
+                    FROM t),
+            tf AS (SELECT doc_id, token, count(*) AS c,
+                          any_value(l) AS l
+                   FROM pos GROUP BY doc_id, token),
+            dfq AS (SELECT token, count(*) AS dfr FROM tf
+                    GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+            s AS (SELECT tf.doc_id, tf.token,
+                         tf.c / tf.l AS tfv,
+                         ln(n.n / dfq.dfr) AS idfv
+                  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfv * idfv DESC, token) AS rk
+                  FROM s)
+            SELECT doc_id, token, round(tfv, 6) AS tf,
+                   round(idfv, 6) AS idf,
+                   round(tfv * idfv, 6) AS tfidf,
+                   CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 3
+        """,
         "lm_scores": r"""
             WITH t AS (SELECT doc_id,
                               string_split_regex(trim(lower(text)),

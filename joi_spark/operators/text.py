@@ -389,3 +389,46 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.round("_alp", 6).alias("avg_logp"),
         F.round(F.exp(-F.col("_alp")), 6).alias("ppl"))
+
+
+def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the keyword/topic signal
+    for corpus exploration and domain tagging: ``(id, token, tf, idf,
+    tfidf, rank)``, rank 1 = highest, ties to the lexicographically
+    smaller token so the cut is deterministic.
+
+        tf  = count(token in doc) / len(doc)
+        idf = ln(N / df_token)          (corpus-trained, no sublinear
+                                         damping — kept oracle-simple)
+
+    Shuffle shape: (doc, token) counts partial-aggregate; document
+    frequency reduces the DISTINCT (doc, token) pairs per token; N is
+    a one-row broadcast; ranking is a window over each document's own
+    vocabulary (bounded by doc length, never corpus-wide).  Tokens in
+    every document get idf 0 and drop out of the ranking naturally.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (df.filter(F.col(text_col).isNotNull())
+              .repartition(par, id_col)
+              .select(F.col(id_col).alias("id"), toks.alias("_t")))
+    pos = base.select("id", F.size("_t").alias("_len"),
+                      F.explode("_t").alias("token"))
+    tf = (pos.groupBy("id", "token")
+             .agg(F.count(F.lit(1)).alias("_c"),
+                  F.first("_len").alias("_len")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = base.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (tf.join(dfreq, "token")
+                .crossJoin(F.broadcast(ndocs))
+                .withColumn("tf", F.col("_c") / F.col("_len"))
+                .withColumn("idf", F.log(F.col("_n") / F.col("_df")))
+                .withColumn("_s", F.col("tf") * F.col("idf")))
+    w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("id").alias(id_col), "token",
+                          F.round("tf", 6).alias("tf"),
+                          F.round("idf", 6).alias("idf"),
+                          F.round("_s", 6).alias("tfidf"), "rank"))

@@ -352,3 +352,23 @@ def test_bigram_lm_scores_match_python_oracle(spark):
     got = {r["doc_id"]: r["avg_logp"]
            for r in TX.bigram_lm_scores(df).collect()}
     assert got == want
+
+
+def test_tfidf_topk_terms_ranks_distinctive_tokens(spark):
+    import math
+    from joi_spark.operators import text as TX
+    rows = [(0, "spark spark spark common"),
+            (1, "duck duck common"),
+            (2, "common only here"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tfidf"])
+           for r in TX.tfidf_topk_terms(df, k=2).collect()}
+    assert got[(0, 1)][0] == "spark"
+    assert got[(0, 1)][1] == round(0.75 * math.log(3), 6)
+    assert got[(1, 1)][0] == "duck"
+    # 'common' in every doc -> idf 0 -> ranks last
+    assert got[(0, 2)] == ("common", 0.0)
+    # ties break token-asc deterministically
+    assert got[(2, 1)][0] == "here" and got[(2, 2)][0] == "only"
+    assert (3, 1) not in got     # null docs emit nothing
