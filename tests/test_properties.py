@@ -220,3 +220,50 @@ def test_window_dup_stats_matches_python_oracle(prop_spark, texts):
                          r["dup_fraction"])
            for r in DD.window_dup_stats(df, n=n).collect()}
     assert got == want
+
+
+@given(st.lists(st.text(alphabet="ab xy", min_size=0, max_size=40),
+                min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cut_spans_matches_python_oracle(prop_spark, texts):
+    """Span location AND cutting on ARBITRARY short texts equal an
+    independent pure-python implementation (merge-on-touch islands,
+    canonical-token rebuild)."""
+    import re
+    from collections import defaultdict
+    from joi_spark.operators import dedup as DD
+
+    n = 3
+    docs = list(enumerate(texts))
+
+    def toks_of(t):
+        return re.split(r"\s+", t.lower().strip())
+
+    def win_keys(t):
+        toks = toks_of(t)
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    owners = defaultdict(set)
+    for i, t in docs:
+        for w in set(win_keys(t)):
+            owners[w].add(i)
+    want = {}
+    for i, t in docs:
+        toks = toks_of(t)
+        covered = set()
+        for p, w in enumerate(win_keys(t), start=1):
+            if len(owners[w]) >= 2:
+                covered.update(range(p, p + n))
+        kept = [tk for j, tk in enumerate(toks, start=1)
+                if j not in covered]
+        want[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+
+    df = prop_spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"],
+                         r["n_tokens_removed"])
+           for r in DD.cut_duplicated_spans(df, n=n).collect()}
+    assert got == want
