@@ -647,7 +647,8 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
                               id_col: str = "doc_id",
                               text_col: str = "text", n: int = 3,
                               num_perm: int = 64, bands: int = 16,
-                              threshold: float = 0.8) -> DataFrame:
+                              threshold: float = 0.8,
+                              persist_index: bool = True) -> DataFrame:
     """Near-duplicate pairs a new batch introduces - against the
     persisted corpus index AND within the batch itself - without
     touching corpus text.  Returns ``(id_a, id_b, jaccard, scope)``
@@ -664,8 +665,12 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
     spark = new_df.sparkSession
     nb, ns, nsh = _minhash_artifacts(new_df, id_col, text_col,
                                      n, num_perm, bands)
-    nb = nb.persist(StorageLevel.MEMORY_AND_DISK)
-    nsh = nsh.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_index:
+        # the batch artifacts feed candidate generation AND exact
+        # verification; persist_index=False for callers managing
+        # cache pressure themselves (same hatch as the other tiers)
+        nb = nb.persist(StorageLevel.MEMORY_AND_DISK)
+        nsh = nsh.persist(StorageLevel.MEMORY_AND_DISK)
     new_ids = nb.select("id").distinct()
     ib = spark.read.parquet(f"{index_path}/bands")
     isz = spark.read.parquet(f"{index_path}/sizes")
