@@ -21,12 +21,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+def norm(v, exact=True):
+    import numpy as np
+    import pandas as pd
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (np.floating, float)):
+        # exact: round-trip repr, the same strictness as the driver's
+        # value hash — a 1-ulp or dtype (int64 vs float64) cross-engine
+        # difference is a FAIL here.
+        return repr(float(v)) if exact else f"{float(v):.9g}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
     return str(v)
+
+
+def frame_rows(df):
+    """Canonicalize a pandas frame the way the driver does: sort columns
+    by name, normalize every cell dtype-sensitively (a DuckDB HUGEINT
+    that pandas renders as float64 must NOT equal Spark's int64)."""
+    cols = sorted(df.columns)
+    return sorted(tuple(norm(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
 
 
 def main() -> int:
@@ -44,7 +65,6 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
         scols = sorted(sdf.columns)
         # the driver's canonicalizer pandas-sorts rows; list/map cells
         # are unhashable there — flag them here so the local gate
@@ -56,19 +76,18 @@ def main() -> int:
             print(f"{name}: FAIL non-scalar oracle columns {bad} "
                   f"(driver canonicalizer would crash)")
             continue
-        sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
+        spdf = sdf.toPandas()
+        sset = frame_rows(spdf)
         if name not in oracles:
-            print(f"{name}: rows-only ({len(srows)} rows, no oracle)")
+            print(f"{name}: rows-only ({len(sset)} rows, no oracle)")
             continue
-        ocur = con.execute(oracles[name])
-        ocols_raw = [d[0] for d in ocur.description]
-        orows = ocur.fetchall()
-        ocols = sorted(ocols_raw)
-        idx = [ocols_raw.index(c) for c in ocols]
-        oset = sorted(tuple(norm(r[i]) for i in idx) for r in orows)
+        opdf = con.execute(oracles[name]).df()
+        ocols = sorted(opdf.columns)
+        oset = frame_rows(opdf)
         ok_cols = scols == ocols
-        ok_cnt = len(srows) == len(orows)
+        ok_cnt = len(sset) == len(oset)
         ok_vals = sset == oset
+        srows, orows = sset, oset
         status = "OK" if (ok_cols and ok_cnt and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
