@@ -28,7 +28,7 @@ Scale notes (the design constraints at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from joi_spark.operators.text import fingerprint, tokens
@@ -117,10 +117,25 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
              .select(F.col(id_col).alias("_id"),
                      F.explode(shingles(F.col(text_col), n)).alias("_sh")))
     if max_shingle_freq is not None:
-        freq = F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-        idx = idx.withColumn("_df", freq).filter(F.col("_df") <= max_shingle_freq) \
-                 .drop("_df")
+        idx = _prune_hot_shingles(idx, max_shingle_freq)
     return idx
+
+
+def _prune_hot_shingles(idx: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap — via a
+    partial-aggregated ``groupBy`` + semi-join, NOT a window.
+
+    A ``count().over(Window.partitionBy("_sh"))`` would land EVERY copy
+    of a hot shingle (the one stop-phrase shared by millions of docs —
+    the exact key this cap exists to defuse) in a single task while
+    computing the frequency that is supposed to prune it.  The groupBy
+    map-side combines the hot key to one row per input partition, and
+    the semi-join back is an equi-join AQE can skew-split."""
+    keep = (idx.groupBy("_sh")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") <= max_shingle_freq)
+               .select("_sh"))
+    return idx.join(keep, "_sh", "left_semi")
 
 
 # --- tier 3: exact n-gram Jaccard ------------------------------------------
@@ -151,9 +166,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # from candidate generation only; Jaccard is over full sets)
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_shingle_freq is not None:
-        freq = F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-        idx = idx.withColumn("_df", freq) \
-                 .filter(F.col("_df") <= max_shingle_freq).drop("_df")
+        idx = _prune_hot_shingles(idx, max_shingle_freq)
     a = idx.select(F.col("_id").alias("_ida"), "_sh")
     b = idx.select(F.col("_id").alias("_idb"), "_sh")
     common = (a.join(b, "_sh")
@@ -252,12 +265,44 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        .alias("sig"))
 
 
+def _sub_block(df: DataFrame, id_col: str, keys: list[str],
+               cap: int) -> tuple[DataFrame, list[str]]:
+    """Quadratic-blowup valve for bucket-keyed candidate joins (the
+    :func:`semantic_dedup` ``max_cluster_size`` pattern, generalized).
+
+    A boilerplate signature shared by m documents puts all m in one
+    band/chunk bucket and the self-join emits m² candidate pairs no
+    matter how the shuffle is split.  Buckets above ``cap`` are
+    deterministically sub-blocked (salt = ``xxhash64(id) mod
+    ceil(size/cap)``) and pairs generate only WITHIN a sub-block —
+    pair count bounded by ``size·cap`` instead of ``size²``, at a
+    documented recall cost (a true pair split across sub-blocks is
+    missed in that bucket; with OR-amplified tables/bands it can still
+    collide elsewhere).
+
+    Only the OVER-cap buckets are broadcast (the hot tail is small by
+    definition); everything else takes ``_sub = 0`` via the left join.
+    """
+    hot = (df.groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("_bsz"))
+             .filter(F.col("_bsz") > cap))
+    nsub = F.ceil(F.col("_bsz") / F.lit(cap))
+    out = (df.join(F.broadcast(hot), keys, "left")
+             .withColumn("_sub",
+                         F.when(F.col("_bsz").isNull(), F.lit(0))
+                          .otherwise(F.pmod(F.xxhash64(F.col(id_col)),
+                                            nsub)))
+             .drop("_bsz"))
+    return out, [*keys, "_sub"]
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
                       verify: bool = True,
-                      persist_index: bool = True) -> DataFrame:
+                      persist_index: bool = True,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash banding: split the signature into ``bands`` rows of
     ``num_perm/bands`` values, bucket-join docs sharing any band hash,
     then (optionally) verify candidates with exact Jaccard.
@@ -298,9 +343,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)])).alias("_b"))
     banded = banded.select("_id", F.col("_b.band").alias("_band"),
                            F.col("_b.bh").alias("_bh"))
-    a = banded.select(F.col("_id").alias("_ida"), "_band", "_bh")
-    b = banded.select(F.col("_id").alias("_idb"), "_band", "_bh")
-    cands = (a.join(b, ["_band", "_bh"])
+    band_keys = ["_band", "_bh"]
+    if max_bucket_size is not None:
+        banded, band_keys = _sub_block(banded, "_id", band_keys,
+                                       max_bucket_size)
+    a = banded.select(F.col("_id").alias("_ida"), *band_keys)
+    b = banded.select(F.col("_id").alias("_idb"), *band_keys)
+    cands = (a.join(b, band_keys)
                .filter(F.col("_ida") < F.col("_idb"))
                .select("_ida", "_idb").distinct())
     if not verify:
@@ -383,12 +432,17 @@ def simhash_chunks(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share ≥1 of 4
     16-bit chunks (pigeonhole: any pair within Hamming distance 3 MUST
     share a chunk; ``max_hamming`` up to ~8 still has high recall),
     verified by exact Hamming distance over the full signature.
-    Equi-join on (chunk_id, chunk_value) — sub-quadratic."""
+    Equi-join on (chunk_id, chunk_value) — sub-quadratic.
+
+    ``max_bucket_size`` sub-blocks over-cap chunk buckets (see
+    :func:`_sub_block`) — the valve for boilerplate corpora where one
+    chunk value is shared by a quadratic-blowup-sized population."""
     sigs = simhash_chunks(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col).alias("_id"), "c0", "c1", "c2", "c3",
@@ -398,15 +452,19 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     chunks = chunks.select("_id", "c0", "c1", "c2", "c3",
                            F.col("_c.ci").alias("_ci"),
                            F.col("_c.cv").alias("_cv"))
+    chunk_keys = ["_ci", "_cv"]
+    if max_bucket_size is not None:
+        chunks, chunk_keys = _sub_block(chunks, "_id", chunk_keys,
+                                        max_bucket_size)
     a = chunks.select(F.col("_id").alias("_ida"),
                       *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)],
-                      "_ci", "_cv")
+                      *chunk_keys)
     b = chunks.select(F.col("_id").alias("_idb"),
                       *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
-                      "_ci", "_cv")
+                      *chunk_keys)
     ham = sum(F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
               for c in range(4))
-    return (a.join(b, ["_ci", "_cv"])
+    return (a.join(b, chunk_keys)
              .filter(F.col("_ida") < F.col("_idb"))
              .select("_ida", "_idb", *[F.col(f"a{c}") for c in range(4)],
                      *[F.col(f"b{c}") for c in range(4)])
@@ -576,9 +634,19 @@ def cluster_canonical(df: DataFrame, clusters: DataFrame,
 # Shingles are stored hashed (8 bytes vs the raw n-gram string); a
 # 64-bit collision altering a common-count requires two distinct
 # shingles of the SAME candidate pair to collide - probability
-# ~ |union|^2 / 2^64 per pair, negligible and deterministic.  At
-# production scale write each table bucketed on its join key
-# ((band, bh) / id / shash) so batch joins shuffle only the batch side.
+# ~ |union|^2 / 2^64 per pair, negligible and deterministic.
+#
+# Each artifact is written as an EXTERNAL BUCKETED table on its join
+# key (bands on (band, bh), sizes/shingles on id) so steady-state
+# batch joins shuffle ONLY the batch side - the index scan comes back
+# hash-partitioned from disk (plan-pinned in
+# tests/test_plans.py::test_minhash_index_side_has_no_exchange).
+# Bucketing metadata lives in the session catalog (Spark cannot carry
+# it through a bare parquet path); on a catalog that lost the entry
+# (e.g. a new in-memory-catalog session) the reader degrades to the
+# plain parquet files at the same path - correct, just re-shuffled.
+# At production scale the catalog is persistent (Hive/Glue/Iceberg),
+# so the degradation never happens there.
 
 def _minhash_artifacts(df: DataFrame, id_col: str, text_col: str,
                        n: int, num_perm: int, bands: int):
@@ -606,10 +674,46 @@ def _minhash_artifacts(df: DataFrame, id_col: str, text_col: str,
     return banded, sigs.select("id", "n"), idx.select("id", "shash")
 
 
+# (artifact name, bucket columns, sort columns) for the bucketed writes
+_INDEX_LAYOUT = {
+    "bands": (["band", "bh"], ["band", "bh"]),
+    "sizes": (["id"], ["id"]),
+    "shingles": (["id"], ["id", "shash"]),
+}
+
+
+def _index_table(path: str, art: str) -> str:
+    """Deterministic catalog name for an index artifact at ``path``."""
+    import hashlib
+    h = hashlib.md5(path.encode()).hexdigest()[:10]
+    return f"minhash_idx_{h}_{art}"
+
+
+def _write_index_art(df: DataFrame, path: str, art: str, *,
+                     buckets: int, mode: str) -> None:
+    keys, sort = _INDEX_LAYOUT[art]
+    name = _index_table(path, art)
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {name}")
+    (df.write.mode(mode)
+       .bucketBy(buckets, *keys).sortBy(*sort)
+       .option("path", f"{path}/{art}")
+       .format("parquet").saveAsTable(name))
+
+
+def _read_index_art(spark: SparkSession, path: str, art: str) -> DataFrame:
+    """Catalog (bucketed) read when the table entry survives, plain
+    parquet fallback otherwise - same rows either way."""
+    name = _index_table(path, art)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return spark.read.parquet(f"{path}/{art}")
+
+
 def build_minhash_index(df: DataFrame, path: str, *,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, num_perm: int = 64,
-                        bands: int = 16) -> None:
+                        bands: int = 16, buckets: int = 32) -> None:
     """Materialize the persistent MinHash index of a corpus at
     ``path`` (see module comment for layout).  Afterwards batches
     join against the index and the corpus text is never read again.
@@ -622,25 +726,37 @@ def build_minhash_index(df: DataFrame, path: str, *,
     Persisting the exploded shingle table instead was measured 2×
     SLOWER end-to-end (cache materialization + a non-codegen cache
     scan replacing three cheap fused scans) — recompute beats
-    materialize for map-side pipelines."""
+    materialize for map-side pipelines.
+
+    Each artifact is an external BUCKETED table on its join key (see
+    module comment) — ``buckets`` sizes the layout; at 100 TB scale
+    set it so a bucket of the shingle table fits an executor core."""
     banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
                                               n, num_perm, bands)
-    banded.write.mode("overwrite").parquet(f"{path}/bands")
-    sizes.write.mode("overwrite").parquet(f"{path}/sizes")
-    shing.write.mode("overwrite").parquet(f"{path}/shingles")
+    for art_df, art in ((banded, "bands"), (sizes, "sizes"),
+                        (shing, "shingles")):
+        _write_index_art(art_df, path, art, buckets=buckets,
+                         mode="overwrite")
 
 
 def append_minhash_index(df: DataFrame, path: str, *,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3, num_perm: int = 64,
-                         bands: int = 16) -> None:
-    """Fold a new batch into an existing index (append-only parquet
-    writes - the incremental update after the batch passed dedup)."""
+                         bands: int = 16, buckets: int = 32) -> None:
+    """Fold a new batch into an existing index (append-only bucketed
+    writes - the incremental update after the batch passed dedup).
+    Falls back to plain parquet appends when the catalog entry for the
+    index is gone (legacy layout / fresh in-memory catalog)."""
     banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
                                               n, num_perm, bands)
-    banded.write.mode("append").parquet(f"{path}/bands")
-    sizes.write.mode("append").parquet(f"{path}/sizes")
-    shing.write.mode("append").parquet(f"{path}/shingles")
+    spark = df.sparkSession
+    for art_df, art in ((banded, "bands"), (sizes, "sizes"),
+                        (shing, "shingles")):
+        if spark.catalog.tableExists(_index_table(path, art)):
+            _write_index_art(art_df, path, art, buckets=buckets,
+                             mode="append")
+        else:
+            art_df.write.mode("append").parquet(f"{path}/{art}")
 
 
 def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
@@ -672,14 +788,22 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
         nb = nb.persist(StorageLevel.MEMORY_AND_DISK)
         nsh = nsh.persist(StorageLevel.MEMORY_AND_DISK)
     new_ids = nb.select("id").distinct()
-    ib = spark.read.parquet(f"{index_path}/bands")
-    isz = spark.read.parquet(f"{index_path}/sizes")
-    ish = spark.read.parquet(f"{index_path}/shingles")
-    all_bands = ib.unionByName(nb)
-    cands = (nb.select(F.col("id").alias("_ida"), "band", "bh")
-               .join(all_bands.select(F.col("id").alias("_idb"),
-                                      "band", "bh"),
-                     ["band", "bh"])
+    ib = _read_index_art(spark, index_path, "bands")
+    isz = _read_index_art(spark, index_path, "sizes")
+    ish = _read_index_art(spark, index_path, "shingles")
+    # candidate generation joins batch-vs-index and batch-vs-batch
+    # SEPARATELY (results unioned) instead of nb ⋈ (ib ∪ nb): a union
+    # child discards the index scan's bucket partitioning, forcing the
+    # (100 TB-scale) index side through an Exchange on every batch.
+    # Split, the bucketed bands scan feeds the join shuffle-free and
+    # only the batch side moves (plan-pinned in tests/test_plans.py).
+    na = nb.select(F.col("id").alias("_ida"), "band", "bh")
+    corpus_cands = na.join(ib.select(F.col("id").alias("_idb"),
+                                     "band", "bh"), ["band", "bh"])
+    batch_cands = na.join(nb.select(F.col("id").alias("_idb"),
+                                    "band", "bh"), ["band", "bh"])
+    cands = (corpus_cands.select("_ida", "_idb")
+               .unionByName(batch_cands.select("_ida", "_idb"))
                .filter(F.col("_ida") != F.col("_idb"))
                .select(F.least("_ida", "_idb").alias("_ida"),
                        F.greatest("_ida", "_idb").alias("_idb"))

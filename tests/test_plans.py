@@ -244,3 +244,49 @@ def test_corpus_report_windows_only_tiny_aggregates(spark):
     import re
     win = p.split("Window")[1] if "Window" in p else ""
     assert "text" not in win.split("HashAggregate")[0]
+
+
+def test_shingle_index_pruning_has_no_window(spark):
+    """Hot-shingle document frequency is a partial-agg groupBy +
+    semi-join, NEVER a window over the exploded index: a window
+    partitioned on the shingle lands every copy of the one stop-phrase
+    shared by millions of docs in a single task while computing the
+    frequency that is supposed to prune it (round-3 verdict item 2)."""
+    from joi_spark.operators import dedup as DD
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = DD._shingle_index(docs, "doc_id", "text", 3, max_shingle_freq=5)
+    p = _plan(idx)
+    assert "Window" not in p
+    # frequency comes from a map-side-combined aggregate on the shingle
+    assert "partial_count" in p
+    assert "LeftSemi" in p
+    # the full pair pipeline keeps the no-window property too
+    p2 = _plan(DD.ngram_jaccard_pairs(docs, threshold=0.9,
+                                      max_shingle_freq=5,
+                                      persist_index=False))
+    assert "Window" not in p2
+
+
+def test_minhash_index_side_has_no_exchange(spark, tmp_path):
+    """The persisted MinHash index is bucketed on its join keys, so the
+    steady-state batch join shuffles ONLY the batch: the bands scan
+    comes back hash-partitioned from disk (round-3 verdict item 4)."""
+    from joi_spark.operators import dedup as DD
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "mhidx")
+    DD.build_minhash_index(docs, path, buckets=8)
+    ib = DD._read_index_art(spark, path, "bands")
+    probe = spark.createDataFrame([(999999, 3, 123456789)],
+                                  "id bigint, band int, bh bigint")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(probe.join(ib, ["band", "bh"]))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in p
+    # exactly one Exchange: the probe (batch) side; the index side
+    # reaches the join straight from the bucketed scan
+    assert p.count("Exchange hashpartitioning") == 1
