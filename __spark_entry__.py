@@ -40,6 +40,55 @@ _VCOLS = ["code", "message", "severity"]
 
 
 # ---------------------------------------------------------------------------
+# hash-stable float outputs (round-3 verdict item 1)
+#
+# The driver's value hash is exact: a double column only matches if both
+# engines produce the identical printed value, and Spark's round()
+# (BigDecimal HALF_UP) disagrees with DuckDB's (double arithmetic) on
+# boundary values.  Every float output column is therefore emitted as a
+# floor-scaled BIGINT instead:
+#
+#  - per-row ratios of exact integers (punct_frac, jaccard, ...):
+#    floor(x * 1e6) — x is a single IEEE division of two exact ints, so
+#    both engines hold the identical double and floor is deterministic;
+#  - group-aggregate ratios (avg_tokens, dup_frac): exact integer
+#    div/mod arithmetic over the BIGINT counters — no double appears at
+#    any scale (overflow-safe split form, valid past 2^53 tokens);
+#  - transcendental values (cosine, psi, ln/exp): floor(x * 1e6) on the
+#    raw double — identical when both engines evaluate the same IEEE
+#    ops in the same order; residual risk is an aggregation-order ulp
+#    landing within 1 ulp of a 1e-6 boundary (probability ~1e-9/row,
+#    vs round()'s dialect mismatch which hits any boundary value).
+# ---------------------------------------------------------------------------
+
+def _e6(col, name: str | None = None):
+    """``floor(x * 1e6)`` as BIGINT — hash-stable micro-units."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = name or (col + "_e6" if isinstance(col, str) else None)
+    out = F.floor(c * F.lit(1000000)).cast("long")
+    return out.alias(n) if n else out
+
+
+def _ratio_e6(num: str, den: str, name: str):
+    """Spark Column: exact BIGINT micro-ratio
+    ``(num div den)*1e6 + ((num mod den)*1e6) div den`` — pure integer
+    arithmetic, overflow-safe where ``1e6*num`` is not."""
+    return F.expr(
+        f"CASE WHEN {den} = 0 THEN NULL ELSE "
+        f"({num} div {den}) * 1000000 "
+        f"+ (({num} % {den}) * 1000000) div {den} END"
+    ).cast("long").alias(name)
+
+
+def _ratio_e6_sql(num: str, den: str) -> str:
+    """The DuckDB twin of :func:`_ratio_e6` (``//`` is DuckDB's
+    integer division; ``div`` is Spark's)."""
+    return (f"CASE WHEN {den} = 0 THEN NULL ELSE "
+            f"({num} // {den}) * 1000000 "
+            f"+ (({num} % {den}) * 1000000) // {den} END")
+
+
+# ---------------------------------------------------------------------------
 # schema-compiler queries (vectorized predicates from the DSL)
 # ---------------------------------------------------------------------------
 
@@ -411,13 +460,17 @@ def q_rename_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-document quality metrics (map-only projection)."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.text_metrics(docs)
+    m = TX.text_metrics(docs)
+    return m.select("doc_id", "n_chars", "n_tokens",
+                    _e6("avg_token_len"), _e6("punct_frac"),
+                    _e6("uniq_token_frac"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stopword-scoring language identification."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.language_id(docs)
+    return TX.language_id(docs).select(
+        "doc_id", "lang_pred", _e6("lang_score"))
 
 
 def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,14 +595,17 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus-trained add-k bigram LM fluency scores (CCNet-style
     quality signal) — joi_spark.operators.text.bigram_lm_scores."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.bigram_lm_scores(docs)
+    return TX.bigram_lm_scores(docs).select(
+        "doc_id", "n_bigrams", _e6("avg_logp"), _e6("ppl"))
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-document top-3 TF-IDF keywords —
     joi_spark.operators.text.tfidf_topk_terms."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.tfidf_topk_terms(docs, k=3)
+    return TX.tfidf_topk_terms(docs, k=3).select(
+        "doc_id", "token", _e6("tf"), _e6("idf"), _e6("tfidf"),
+        "rank")
 
 
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +630,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-source corpus data card (docs, tokens, exact-dup exposure,
     language mix) — joi_spark.operators.corpus.corpus_report."""
     docs = _t(spark, sf_dir, "documents")
-    return CP.corpus_report(docs)
+    rep = CP.corpus_report(docs)
+    # hash-stable micro-ratios from the EXACT integer counters — the
+    # raw avg_tokens/dup_frac doubles never reach the driver compare
+    return rep.select(
+        "source", "n_docs", "n_tokens",
+        _ratio_e6("n_tokens", "n_docs", "avg_tokens_e6"),
+        "min_tokens", "max_tokens", "dup_docs",
+        _ratio_e6("dup_docs", "n_docs", "dup_frac_e6"),
+        "n_langs", "top_lang")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +659,9 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """whitespace + BPE-ish regex token counting over documents."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.token_stats(docs)
+    return TX.token_stats(docs).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens",
+        _e6("chars_per_token"))
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,7 +756,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (joi_spark.operators.text.repetition_signals — no explode/groupBy
     shuffle; the oracle recomputes via unnest + GROUP BY)."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.repetition_signals(docs, ngram_n=2)
+    r = TX.repetition_signals(docs, ngram_n=2)
+    return r.select("doc_id", "n_lines", _e6("dup_line_frac"),
+                    _e6("dup_line_char_frac"), "top_ngram",
+                    _e6("top_ngram_frac"), _e6("dup_ngram_frac"))
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,8 +1326,8 @@ def _lang_id_oracle() -> str:
     for lang in LANG_ORDER:
         words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
         score_cols.append(
-            f"round(len(list_filter(tok, x -> x IN ({words})))"
-            f" / len(tok), 6) AS s_{lang}")
+            f"len(list_filter(tok, x -> x IN ({words})))"
+            f" / len(tok) AS s_{lang}")
     whens = []
     for lang in LANG_ORDER[:-1]:
         conds = " AND ".join(f"s_{lang}>=s_{o}"
@@ -1274,7 +1343,8 @@ def _lang_id_oracle() -> str:
         SELECT doc_id,
                CASE {" ".join(whens)} ELSE '{LANG_ORDER[-1]}' END
                    AS lang_pred,
-               greatest({best}) AS lang_score
+               CAST(FLOOR(greatest({best}) * 1000000) AS BIGINT)
+                   AS lang_score_e6
         FROM s
     """
 
@@ -1765,13 +1835,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(len(tok) AS BIGINT) AS n_tokens,
-                   round((length(text) - (len(tok) - 1)) / len(tok), 6)
-                       AS avg_token_len,
-                   round((length(text) -
-                          length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                         / length(text), 6) AS punct_frac,
-                   round(len(list_distinct(tok)) / len(tok), 6)
-                       AS uniq_token_frac
+                   CAST(FLOOR(((length(text) - (len(tok) - 1)) / len(tok)) * 1000000) AS BIGINT)
+                       AS avg_token_len_e6,
+                   CAST(FLOOR(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text)) * 1000000) AS BIGINT)
+                       AS punct_frac_e6,
+                   CAST(FLOOR((len(list_distinct(tok)) / len(tok)) * 1000000) AS BIGINT)
+                       AS uniq_token_frac_e6
             FROM t
         """,
         "lang_id": _lang_id_oracle(),
@@ -1874,9 +1943,10 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id
                       ORDER BY tfv * idfv DESC, token) AS rk
                   FROM s)
-            SELECT doc_id, token, round(tfv, 6) AS tf,
-                   round(idfv, 6) AS idf,
-                   round(tfv * idfv, 6) AS tfidf,
+            SELECT doc_id, token,
+                   CAST(FLOOR((tfv) * 1000000) AS BIGINT) AS tf_e6,
+                   CAST(FLOOR((idfv) * 1000000) AS BIGINT) AS idf_e6,
+                   CAST(FLOOR((tfv * idfv) * 1000000) AS BIGINT) AS tfidf_e6,
                    CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 3
         """,
@@ -1903,12 +1973,12 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY p.doc_id)
             SELECT d.doc_id,
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
-                   round(s.alp, 6) AS avg_logp,
-                   round(exp(-s.alp), 6) AS ppl
+                   CAST(FLOOR((s.alp) * 1000000) AS BIGINT) AS avg_logp_e6,
+                   CAST(FLOOR((exp(-s.alp)) * 1000000) AS BIGINT) AS ppl_e6
             FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "mix_sample": _mix_sample_oracle(_MIX_TARGETS, seed="mix"),
-        "corpus_report": r"""
+        "corpus_report": rf"""
             WITH base AS (
                 SELECT doc_id, source AS grp, lang,
                        COALESCE(len(string_split_regex(trim(text),
@@ -1926,7 +1996,6 @@ def oracle_sql() -> dict[str, str]:
                              -- driver hash sees as '1136.0' vs Spark's
                              -- int64 '1136' (round-3 red row)
                              sum(ntok)::BIGINT AS n_tokens,
-                             round(avg(ntok), 6) AS avg_tokens,
                              min(ntok) AS min_tokens,
                              max(ntok) AS max_tokens,
                              count(dup) AS dup_docs,
@@ -1939,9 +2008,12 @@ def oracle_sql() -> dict[str, str]:
                              row_number() OVER (PARTITION BY grp
                                  ORDER BY c DESC, lang) AS rk
                       FROM lc) WHERE rk = 1)
-            SELECT s.grp AS source, s.n_docs, s.n_tokens, s.avg_tokens,
+            SELECT s.grp AS source, s.n_docs, s.n_tokens,
+                   {_ratio_e6_sql('s.n_tokens', 's.n_docs')}
+                       AS avg_tokens_e6,
                    s.min_tokens, s.max_tokens, s.dup_docs,
-                   round(s.dup_docs / s.n_docs, 6) AS dup_frac,
+                   {_ratio_e6_sql('s.dup_docs', 's.n_docs')}
+                       AS dup_frac_e6,
                    s.n_langs, t.top_lang
             FROM stats s LEFT JOIN top t USING (grp)
         """,
@@ -1976,9 +2048,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                         AS BIGINT) AS bpe_ish_tokens,
-                   round(length(text) / nullif(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 6)
-                       AS chars_per_token
+                   CAST(FLOOR((length(text) / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0)) * 1000000) AS BIGINT)
+                       AS chars_per_token_e6
             FROM documents
         """,
         "pii_scrub": _pii_scrub_oracle(),
@@ -2093,15 +2164,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    -- ::BIGINT: sum() is HUGEINT → float64 in pandas
                    coalesce(lm.n_lines, 0)::BIGINT AS n_lines,
-                   round(lm.dup_occ / nullif(lm.n_lines, 0), 6)
-                       AS dup_line_frac,
-                   round(lm.dup_chars / nullif(lm.tot_chars, 0), 6)
-                       AS dup_line_char_frac,
+                   CAST(FLOOR((lm.dup_occ / nullif(lm.n_lines, 0)) * 1000000) AS BIGINT)
+                       AS dup_line_frac_e6,
+                   CAST(FLOOR((lm.dup_chars / nullif(lm.tot_chars, 0)) * 1000000) AS BIGINT)
+                       AS dup_line_char_frac_e6,
                    gt.gram AS top_ngram,
-                   round(gt.c * length(gt.gram)
-                         / nullif(length(d.text), 0), 6) AS top_ngram_frac,
-                   round(gm.dup_occ / nullif(gm.n_grams, 0), 6)
-                       AS dup_ngram_frac
+                   CAST(FLOOR((gt.c * length(gt.gram) / nullif(length(d.text), 0)) * 1000000) AS BIGINT)
+                       AS top_ngram_frac_e6,
+                   CAST(FLOOR((gm.dup_occ / nullif(gm.n_grams, 0)) * 1000000) AS BIGINT)
+                       AS dup_ngram_frac_e6
             FROM d LEFT JOIN lm USING (doc_id)
                    LEFT JOIN gm USING (doc_id)
                    LEFT JOIN gt ON gt.doc_id = d.doc_id AND gt.rn = 1

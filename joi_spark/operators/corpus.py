@@ -249,13 +249,17 @@ def corpus_report(df: DataFrame, *, group_col: str = "source",
     stats = (marked.groupBy("grp")
                    .agg(F.count(F.lit(1)).alias("n_docs"),
                         F.sum("_ntok").alias("n_tokens"),
-                        F.round(F.avg("_ntok"), 6).alias("avg_tokens"),
+                        F.avg("_ntok").alias("avg_tokens"),
                         F.min("_ntok").alias("min_tokens"),
                         F.max("_ntok").alias("max_tokens"),
                         F.count("_dup").alias("dup_docs"),
                         F.countDistinct("_lang").alias("n_langs")))
+    # raw doubles, no presentation rounding: callers that need a
+    # cross-engine hash-stable value derive it from the EXACT integer
+    # counters (n_tokens/n_docs/dup_docs) — rounding here would bake
+    # one engine's decimal-rounding dialect into the result
     stats = stats.withColumn(
-        "dup_frac", F.round(F.col("dup_docs") / F.col("n_docs"), 6))
+        "dup_frac", F.col("dup_docs") / F.col("n_docs"))
     lang_counts = (base.filter(F.col("_lang").isNotNull())
                        .groupBy("grp", "_lang")
                        .agg(F.count(F.lit(1)).alias("_lc")))

@@ -68,10 +68,10 @@ def text_metrics(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+        ((n_chars - (n_tokens - 1)) / n_tokens)
          .alias("avg_token_len"),
-        F.round((n_chars - F.length(alnum)) / n_chars, 6).alias("punct_frac"),
-        F.round(F.size(F.array_distinct(toks)) / n_tokens, 6)
+        ((n_chars - F.length(alnum)) / n_chars).alias("punct_frac"),
+        (F.size(F.array_distinct(toks)) / n_tokens)
          .alias("uniq_token_frac"),
     )
 
@@ -94,7 +94,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     one pass, all languages scored in the same row expression.
     """
     col = F.col(text_col)
-    scores = {lang: F.round(stopword_fraction(col, STOPWORDS[lang]), 6)
+    scores = {lang: stopword_fraction(col, STOPWORDS[lang])
               for lang in LANG_ORDER}
     pred = None
     for lang in LANG_ORDER:
@@ -128,7 +128,7 @@ def token_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         ws.cast("bigint").alias("ws_tokens"),
         n_pieces.cast("bigint").alias("bpe_ish_tokens"),
-        F.round(F.length(col) / F.nullif(n_pieces, F.lit(0)), 6)
+        (F.length(col) / F.nullif(n_pieces, F.lit(0)))
          .alias("chars_per_token"))
 
 
@@ -275,17 +275,15 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         n_lines.cast("bigint").alias("n_lines"),
-        F.round(ls["dup_occ"] / F.nullif(n_lines.cast("bigint"),
-                                         F.lit(0)), 6)
+        (ls["dup_occ"] / F.nullif(n_lines.cast("bigint"), F.lit(0)))
          .alias("dup_line_frac"),
-        F.round(ls["dup_chars"] / F.nullif(line_chars, F.lit(0)), 6)
+        (ls["dup_chars"] / F.nullif(line_chars, F.lit(0)))
          .alias("dup_line_char_frac"),
         top.alias("top_ngram"),
-        F.round(gs["best_run"] * F.length(top)
-                / F.nullif(F.length(col).cast("bigint"), F.lit(0)), 6)
+        (gs["best_run"] * F.length(top)
+         / F.nullif(F.length(col).cast("bigint"), F.lit(0)))
          .alias("top_ngram_frac"),
-        F.round(gs["dup_occ"] / F.nullif(n_grams.cast("bigint"),
-                                         F.lit(0)), 6)
+        (gs["dup_occ"] / F.nullif(n_grams.cast("bigint"), F.lit(0)))
          .alias("dup_ngram_frac"),
     )
 
@@ -387,8 +385,8 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     return out.select(
         F.col("id").alias(id_col),
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.round("_alp", 6).alias("avg_logp"),
-        F.round(F.exp(-F.col("_alp")), 6).alias("ppl"))
+        F.col("_alp").alias("avg_logp"),
+        F.exp(-F.col("_alp")).alias("ppl"))
 
 
 def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
@@ -429,6 +427,5 @@ def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select(F.col("id").alias(id_col), "token",
-                          F.round("tf", 6).alias("tf"),
-                          F.round("idf", 6).alias("idf"),
-                          F.round("_s", 6).alias("tfidf"), "rank"))
+                          "tf", "idf",
+                          F.col("_s").alias("tfidf"), "rank"))
