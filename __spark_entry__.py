@@ -482,14 +482,16 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram Jaccard near-dup pairs via inverted-index join."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, threshold=0.8)
+    return DD.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", _e6("jaccard"))
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified — output
     must equal the exact n-gram computation (recall check)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, threshold=0.8)
+    return DD.minhash_lsh_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", _e6("jaccard"))
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +508,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/joi_mh_index_{tag}"
     DD.build_minhash_index(corpus, path)
-    return DD.incremental_minhash_pairs(batch, path, threshold=0.8)
+    return DD.incremental_minhash_pairs(batch, path, threshold=0.8) \
+             .select("id_a", "id_b", _e6("jaccard"), "scope")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +565,8 @@ def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     RP-bucketed candidate path (4 bits × 8 tables); the oracle
     reproduces the same deterministic buckets."""
     emb = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_near_pairs(emb, threshold=0.45)
+    return DD.embedding_near_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b", _e6("cosine"))
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +584,8 @@ def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-dedup screening metric, Lee et al. 2021) —
     joi_spark.operators.dedup.window_dup_stats."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.window_dup_stats(docs, n=8)
+    return DD.window_dup_stats(docs, n=8).select(
+        "doc_id", "n_windows", "dup_windows", _e6("dup_fraction"))
 
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,7 +751,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's planted duplicates are the expected hits)."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter((F.col("doc_id") % 25) == 0)
-    return DD.contamination(docs, bench, n=3, min_overlap_frac=0.5)
+    c = DD.contamination(docs, bench, n=3, min_overlap_frac=0.5)
+    return c.select("doc_id", "bench_id", "n_shared",
+                    _e6("overlap_frac"))
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,8 +1090,9 @@ def _embedding_near_oracle(threshold: float = 0.45, n_bits: int = 4,
                         a.embedding AS ea, c.embedding AS eb
                  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({share})),
         s AS (SELECT ida, idb, {cs} AS cs FROM cand)
-        SELECT ida AS id_a, idb AS id_b, round(cs, 6) AS cosine
-        FROM s WHERE round(cs, 6) >= {threshold}
+        SELECT ida AS id_a, idb AS id_b,
+               CAST(FLOOR((cs) * 1000000) AS BIGINT) AS cosine_e6
+        FROM s WHERE cs >= {threshold}
     """
 
 
@@ -1182,7 +1190,7 @@ def _semantic_dedup_oracle(threshold: float = 0.45,
               FROM home x JOIN home y
                 ON x.cid = y.cid AND x.vec_id < y.vec_id),
         close AS (SELECT ia, ib FROM
-                  (SELECT ia, ib, round({cs}, 6) AS c2 FROM p)
+                  (SELECT ia, ib, {cs} AS c2 FROM p)
                   WHERE c2 >= {threshold}),
         dup AS (SELECT ib AS vec_id, min(ia) AS dup_of
                 FROM close GROUP BY ib)
@@ -1215,8 +1223,9 @@ def _window_dedup_oracle(n: int = 8) -> str:
                COALESCE(per.n_windows, 0) AS n_windows,
                COALESCE(per.dup_windows, 0) AS dup_windows,
                CASE WHEN per.n_windows > 0
-                    THEN round(per.dup_windows / per.n_windows, 6)
-                    ELSE 0.0 END AS dup_fraction
+                    THEN CAST(FLOOR((per.dup_windows / per.n_windows)
+                                    * 1000000) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS dup_fraction_e6
         FROM documents d LEFT JOIN per USING (doc_id)
     """
 
@@ -1873,7 +1882,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM common
                   JOIN sizes sa ON ida = sa.doc_id
                   JOIN sizes sb ON idb = sb.doc_id)
-            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard
+            SELECT ida AS id_a, idb AS id_b,
+                   CAST(FLOOR((jac) * 1000000) AS BIGINT) AS jaccard_e6
             FROM j WHERE jac >= 0.8
         """,
         "minhash_lsh": r"""
@@ -1893,7 +1903,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM common
                   JOIN sizes sa ON ida = sa.doc_id
                   JOIN sizes sb ON idb = sb.doc_id)
-            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard
+            SELECT ida AS id_a, idb AS id_b,
+                   CAST(FLOOR((jac) * 1000000) AS BIGINT) AS jaccard_e6
             FROM j WHERE jac >= 0.8
         """,
         "cosine_topk": """
@@ -2126,9 +2137,10 @@ def oracle_sql() -> dict[str, str]:
             j AS (SELECT sh.doc_id, b.bid, count(*) AS c
                   FROM sh JOIN bench b USING (s) GROUP BY 1, 2)
             SELECT j.doc_id, bid AS bench_id, c AS n_shared,
-                   round(c / nb, 6) AS overlap_frac
+                   CAST(FLOOR((c / nb) * 1000000) AS BIGINT)
+                       AS overlap_frac_e6
             FROM j JOIN bn USING (bid)
-            WHERE round(c / nb, 6) >= 0.5
+            WHERE c / nb >= 0.5
         """,
         "repetition_signals": r"""
             WITH d AS (SELECT doc_id, text FROM documents),
@@ -2410,7 +2422,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM common
                   JOIN sizes sa ON ida = sa.doc_id
                   JOIN sizes sb ON idb = sb.doc_id)
-            SELECT ida AS id_a, idb AS id_b, round(jac, 6) AS jaccard,
+            SELECT ida AS id_a, idb AS id_b,
+                   CAST(FLOOR(jac * 1000000) AS BIGINT) AS jaccard_e6,
                    CASE WHEN ida % 3 = 0 AND idb % 3 = 0 THEN 'new_new'
                         ELSE 'new_corpus' END AS scope
             FROM j

@@ -183,7 +183,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                        (F.col("_na") + F.col("_nb") - F.col("_common")))
            .filter(F.col("jaccard") >= threshold)
            .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
-                   F.round("jaccard", 6).alias("jaccard")))
+                   "jaccard"))
     return out
 
 
@@ -222,7 +222,7 @@ def contamination(df: DataFrame, benchmark: DataFrame,
               .filter(F.col("n_shared") >= min_shared))
     out = (shared.join(F.broadcast(bench_sizes), "_bid")
            .withColumn("overlap_frac",
-                       F.round(F.col("n_shared") / F.col("_bn"), 6))
+                       F.col("n_shared") / F.col("_bn"))
            .filter(F.col("overlap_frac") >= min_overlap_frac)
            .select(F.col("_id").alias(id_col),
                    F.col("_bid").alias("bench_id"),
@@ -372,7 +372,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                        (F.col("_na") + F.col("_nb") - F.col("_common")))
            .filter(F.col("jaccard") >= threshold)
            .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
-                   F.round("jaccard", 6).alias("jaccard")))
+                   "jaccard"))
     return out
 
 
@@ -539,7 +539,7 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
     # condition and evaluated outside codegen)
     cs = dot_pandas_udf()(F.col("_va"), F.col("_vb")) \
         / (F.col("_na") * F.col("_nb"))
-    return (pairs.withColumn("cosine", F.round(cs, 6))
+    return (pairs.withColumn("cosine", cs)
                  .filter(F.col("cosine") >= threshold)
                  .select(F.col("_ida").alias("id_a"),
                          F.col("_idb").alias("id_b"), "cosine"))
@@ -836,7 +836,7 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str, *,
                                  "new_new").otherwise("new_corpus")))
     return out.select(F.col("_ida").alias("id_a"),
                       F.col("_idb").alias("id_b"),
-                      F.round("jaccard", 6).alias("jaccard"), "scope")
+                      "jaccard", "scope")
 
 
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
@@ -919,7 +919,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         / (F.col("_na") * F.col("_nb"))
     dup = (a.join(b, join_keys)
             .filter(F.col("_ida") < F.col("_idb"))
-            .withColumn("_cs", F.round(cs, 6))
+            .withColumn("_cs", cs)
             .filter(F.col("_cs") >= threshold)
             .groupBy(F.col("_idb").alias(id_col))
             .agg(F.min("_ida").alias("dup_of")))
@@ -976,7 +976,7 @@ def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
                   .agg(F.count("_w").alias("n_windows"),
                        F.count("_dup").alias("dup_windows")))
     frac = F.when(F.col("n_windows") > 0,
-                  F.round(F.col("dup_windows") / F.col("n_windows"), 6)) \
+                  F.col("dup_windows") / F.col("n_windows")) \
             .otherwise(F.lit(0.0))
     return per_doc.select(F.col("id").alias(id_col),
                           "n_windows", "dup_windows",
