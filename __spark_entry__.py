@@ -271,7 +271,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders") \
         .withColumn("epoch", F.year("o_orderdate"))
     out = DR.psi(orders, "o_orderpriority", epoch_col="epoch")
-    return out.withColumn("psi", F.round("psi", 6))
+    return out.select("column", "epoch", "baseline_epoch", _e6("psi"))
 
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +280,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("epoch", F.year("o_orderdate"))
     out = DR.ks_statistic(orders, "o_totalprice", epoch_col="epoch",
                           n_buckets=200)
-    return out.withColumn("ks", F.round("ks", 6))
+    return out.select("column", "epoch", "baseline_epoch", _e6("ks"))
 
 
 def q_ref_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +335,8 @@ def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KLL approx_percentile sketch."""
     li = _t(spark, sf_dir, "lineitem") \
         .withColumn("epoch", F.year("l_shipdate"))
-    return SKT.quantile_drift(li, "l_extendedprice", exact=True)
+    qd = SKT.quantile_drift(li, "l_extendedprice", exact=True)
+    return qd.select("column", "epoch", "baseline_epoch", _e6("w1"))
 
 
 def q_stats_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,8 +349,7 @@ def q_stats_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ST.epoch_anomalies(orders, ["o_totalprice"], epoch_col="epoch",
                              z_threshold=1.5)
     return out.select("column", "epoch", "metric",
-                      F.round("value", 2).alias("value"),
-                      F.round("z", 4).alias("z"), "flagged")
+                      _e6("value"), _e6("z"), "flagged")
 
 
 def q_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,7 +522,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """brute-force cosine top-5 neighbors for query vectors 0-9."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk(emb, list(range(10)), k=5)
+    return SIM.cosine_topk(emb, list(range(10)), k=5).select(
+        "query_id", "neighbor_id", _e6("cosine"), "rank")
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +531,9 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path); oracle reproduces the deterministic hyperplane
     buckets, so this checks the bucketed plan itself, not just recall."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, list(range(10)), k=5, n_bits=4, n_tables=4)
+    return SIM.lsh_topk(emb, list(range(10)), k=5, n_bits=4,
+                        n_tables=4).select(
+        "query_id", "neighbor_id", _e6("cosine"), "rank")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +543,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the exact list assignments (home lists AND probe
     ranking), checking the inverted-list plan itself, not just recall."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(emb, list(range(10)), k=5, n_lists=8, nprobe=3)
+    return SIM.ivf_topk(emb, list(range(10)), k=5, n_lists=8,
+                        nprobe=3).select(
+        "query_id", "neighbor_id", _e6("cosine"), "rank")
 
 
 def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,7 +562,8 @@ def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/joi_ivf_index_{tag}"
     SIM.build_ivf_index(emb, path, n_lists=8)
     return SIM.ivf_topk_from_index(emb.filter(F.col("vec_id") < 10),
-                                   path, k=5, nprobe=3)
+                                   path, k=5, nprobe=3).select(
+        "query_id", "neighbor_id", _e6("cosine"), "rank")
 
 
 def q_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +689,9 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_stats; epoch-microsecond gap math so DuckDB's epoch_us
     reproduces the integers bit-for-bit)."""
     ev = _t(spark, sf_dir, "events")
-    return DS.session_stats(ev, gap_seconds=28800)
+    st = DS.session_stats(ev, gap_seconds=28800)
+    return st.select(st.columns[0], "session_idx", "n_events",
+                     "sess_start", "sess_end", _e6("duration_sec"))
 
 
 def _pii_seed(spark_dialect: bool) -> str:
@@ -1014,7 +1022,8 @@ def q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (joi_spark.operators.sampling.weighted_sample_topk)."""
     orders = _t(spark, sf_dir, "orders")
     return SP.weighted_sample_topk(orders, "o_totalprice", 100,
-                                   id_col="o_orderkey", seed="r3")
+                                   id_col="o_orderkey", seed="r3") \
+             .select("o_orderkey", "weight", _e6("priority"), "rank")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,7 +1049,7 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders") \
         .withColumn("epoch", F.year("o_orderdate"))
     out = DR.js_divergence(orders, "o_orderpriority", epoch_col="epoch")
-    return out.withColumn("jsd", F.round("jsd", 6))
+    return out.select("column", "epoch", "baseline_epoch", _e6("jsd"))
 
 
 # ---------------------------------------------------------------------------
@@ -1113,7 +1122,7 @@ def _lsh_topk_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 4) -> str:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cs DESC, neighbor_id) AS rk
               FROM s)
-        SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+        SELECT query_id, neighbor_id, CAST(FLOOR(cs * 1000000) AS BIGINT) AS cosine_e6,
                CAST(rk AS INT) AS rank
         FROM r WHERE rk <= {k}
     """
@@ -1156,7 +1165,7 @@ def _ivf_topk_oracle(k: int = 5, n_lists: int = 8, nprobe: int = 3) -> str:
                                          ORDER BY cs DESC, neighbor_id)
                           AS rk
                FROM s2)
-        SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+        SELECT query_id, neighbor_id, CAST(FLOOR(cs * 1000000) AS BIGINT) AS cosine_e6,
                CAST(rk AS INT) AS rank
         FROM r2 WHERE rk <= {k}
     """
@@ -1741,7 +1750,7 @@ def oracle_sql() -> dict[str, str]:
                   LEFT JOIN base bs ON g.bucket = bs.bucket)
             SELECT 'o_orderpriority' AS "column", epoch,
                    CAST((SELECT min(epoch) FROM frac) AS VARCHAR) AS baseline_epoch,
-                   round(sum((p - q) * ln(p / q)), 6) AS psi
+                   CAST(FLOOR(sum((p - q) * ln(p / q)) * 1000000) AS BIGINT) AS psi_e6
             FROM j GROUP BY epoch ORDER BY epoch
         """,
         "ks_drift": """
@@ -1772,7 +1781,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE epoch <> (SELECT min(epoch) FROM f))
             SELECT 'o_totalprice' AS "column", cur.epoch,
                    CAST((SELECT min(epoch) FROM f) AS VARCHAR) AS baseline_epoch,
-                   round(max(abs(cur.cdf - base.cdf_q)), 6) AS ks
+                   CAST(FLOOR(max(abs(cur.cdf - base.cdf_q)) * 1000000) AS BIGINT) AS ks_e6
             FROM cur JOIN base ON cur.bucket = base.bucket
             GROUP BY cur.epoch ORDER BY cur.epoch
         """,
@@ -1923,7 +1932,7 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY cs DESC, neighbor_id) AS rk
                   FROM s)
-            SELECT query_id, neighbor_id, round(cs, 6) AS cosine,
+            SELECT query_id, neighbor_id, CAST(FLOOR(cs * 1000000) AS BIGINT) AS cosine_e6,
                    CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 5
         """,
@@ -2110,8 +2119,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(session_idx AS BIGINT) AS session_idx,
                    CAST(count(*) AS BIGINT) AS n_events,
                    min(ts) AS sess_start, max(ts) AS sess_end,
-                   round((max(us) - min(us)) / 1000000.0, 6)
-                       AS duration_sec
+                   CAST(FLOOR((max(us) - min(us)) / 1000000.0
+                              * 1000000) AS BIGINT)
+                       AS duration_sec_e6
             FROM s GROUP BY user_id, session_idx
         """,
         "hash_split": (
@@ -2245,7 +2255,8 @@ def oracle_sql() -> dict[str, str]:
             " WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),"
             " r AS (SELECT *, row_number() OVER"
             " (ORDER BY pri DESC, o_orderkey ASC) AS rank FROM s)"
-            " SELECT o_orderkey, weight, round(pri, 6) AS priority,"
+            " SELECT o_orderkey, weight,"
+            " CAST(FLOOR(pri * 1000000) AS BIGINT) AS priority_e6,"
             " CAST(rank AS INT) AS rank FROM r WHERE rank <= 100"),
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (
@@ -2320,9 +2331,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'o_orderpriority' AS "column", epoch,
                    CAST((SELECT min(epoch) FROM frac) AS VARCHAR)
                        AS baseline_epoch,
-                   round(sum((p * ln(p / ((p + q) / 2))
-                              + q * ln(q / ((p + q) / 2))) / 2), 6)
-                       AS jsd
+                   CAST(FLOOR(sum((p * ln(p / ((p + q) / 2))
+                              + q * ln(q / ((p + q) / 2))) / 2)
+                              * 1000000) AS BIGINT) AS jsd_e6
             FROM j GROUP BY epoch ORDER BY epoch
         """,
         # same exact anti-join as ds_referential: the Bloom path's
@@ -2373,7 +2384,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_extendedprice' AS "column", l.epoch,
                    CAST((SELECT min(epoch) FROM long) AS VARCHAR)
                        AS baseline_epoch,
-                   round(avg(abs(l.q - b.qb)), 6) AS w1
+                   CAST(FLOOR(avg(abs(l.q - b.qb)) * 1000000)
+                        AS BIGINT) AS w1_e6
             FROM long l JOIN base b USING (qi)
             WHERE l.epoch <> (SELECT min(epoch) FROM long)
             GROUP BY l.epoch ORDER BY l.epoch
@@ -2397,9 +2409,9 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0.0 END AS z
                    FROM long)
             SELECT 'o_totalprice' AS "column", epoch, metric,
-                   round(round(value, 6), 2) AS value,
-                   round(round(z, 6), 4) AS z,
-                   abs(round(z, 6)) > 1.5 AS flagged
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS value_e6,
+                   CAST(FLOOR(z * 1000000) AS BIGINT) AS z_e6,
+                   abs(z) > 1.5 AS flagged
             FROM zz ORDER BY metric, epoch
         """,
         # exact pair enumeration restricted to pairs touching the batch

@@ -371,5 +371,5 @@ def session_stats(df: DataFrame, key_col: str = "user_id",
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min(ts_col).alias("sess_start"),
                  F.max(ts_col).alias("sess_end"),
-                 F.round((F.max(us) - F.min(us)) / 1_000_000.0, 6)
+                 ((F.max(us) - F.min(us)) / 1_000_000.0)
                   .alias("duration_sec")))

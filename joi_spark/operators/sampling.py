@@ -121,7 +121,7 @@ def weighted_sample_topk(df: DataFrame, weight_col: str, k: int,
     rw = Window.orderBy(F.desc("_pri"), F.asc(id_col))
     return (ranked.withColumn("rank", F.row_number().over(rw))
                   .select(id_col, "weight",
-                          F.round("_pri", 6).alias("priority"), "rank"))
+                          F.col("_pri").alias("priority"), "rank"))
 
 
 def mix_to_target(df: DataFrame, strata_col: str,

@@ -142,7 +142,7 @@ def _rescore_topk(df: DataFrame, cands: DataFrame, query_ids: list,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id",
-                          F.round("cosine", 6).alias("cosine"), "rank"))
+                          "cosine", "rank"))
 
 
 def cosine_topk(df: DataFrame, query_ids: list, k: int = 5,
@@ -176,7 +176,7 @@ def cosine_topk(df: DataFrame, query_ids: list, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id",
-                          F.round("cosine", 6).alias("cosine"), "rank"))
+                          "cosine", "rank"))
 
 
 def _hyperplanes(n_bits: int, dim: int,
@@ -562,4 +562,4 @@ def ivf_topk_from_index(queries: DataFrame, path: str, *, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id",
-                          F.round("cosine", 6).alias("cosine"), "rank"))
+                          "cosine", "rank"))

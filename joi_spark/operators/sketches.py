@@ -231,7 +231,7 @@ def cardinality_merge(manifest: DataFrame) -> DataFrame:
 
 def quantile_drift(df: DataFrame, column: str, *, epoch_col: str = "epoch",
                    baseline_epoch=None, n_quantiles: int = 20,
-                   exact: bool = False, round_to: int = 6) -> DataFrame:
+                   exact: bool = False) -> DataFrame:
     """Wasserstein-1 distance of ``column`` between every epoch and the
     baseline epoch, via the quantile-function integral
     W1 = ∫₀¹ |Q_e(u) − Q_b(u)| du ≈ mean over a midpoint grid of
@@ -263,7 +263,7 @@ def quantile_drift(df: DataFrame, column: str, *, epoch_col: str = "epoch",
     cur = long.filter(F.col("epoch") != F.lit(baseline_epoch))
     return (cur.join(F.broadcast(base), "qi")
                .groupBy("epoch")
-               .agg(F.round(F.avg(F.abs(F.col("q") - F.col("qb"))), round_to)
+               .agg(F.avg(F.abs(F.col("q") - F.col("qb")))
                      .alias("w1"))
                .withColumn("column", F.lit(column))
                .withColumn("baseline_epoch",

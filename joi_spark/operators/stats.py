@@ -149,8 +149,8 @@ def stats_manifest(df: DataFrame, partition_col: str,
                 .orderBy(partition_col, "column"))
 
 
-def _z_screen(long: DataFrame, key: str, z_threshold: float,
-              round_to: int) -> DataFrame:
+def _z_screen(long: DataFrame, key: str,
+              z_threshold: float) -> DataFrame:
     """z-score every (column, metric, key) row against the distribution
     of that metric across keys; constant metrics (stddev 0) never flag.
     Input: ``(key, column, metric, value)``."""
@@ -159,16 +159,14 @@ def _z_screen(long: DataFrame, key: str, z_threshold: float,
     z = F.when(F.stddev_samp("value").over(w) > 0,
                (F.col("value") - F.avg("value").over(w))
                / F.stddev_samp("value").over(w)).otherwise(F.lit(0.0))
-    return (long.withColumn("z", F.round(z, round_to))
+    return (long.withColumn("z", z)
                 .withColumn("flagged", F.abs(F.col("z")) > z_threshold)
-                .withColumn("value", F.round("value", round_to))
                 .select("column", key, "metric", "value", "z", "flagged")
                 .orderBy("column", "metric", key))
 
 
 def epoch_anomalies(df: DataFrame, columns: Sequence[str], *,
-                    epoch_col: str = "epoch", z_threshold: float = 3.0,
-                    round_to: int = 6) -> DataFrame:
+                    epoch_col: str = "epoch", z_threshold: float = 3.0) -> DataFrame:
     """Cross-epoch anomaly screen over the raw data: per-column
     per-epoch mean and null fraction, z-scored against the distribution
     of that metric ACROSS epochs — flags the epoch whose profile jumps
@@ -198,14 +196,13 @@ def epoch_anomalies(df: DataFrame, columns: Sequence[str], *,
                 F.col(f"{c}__{metric}").cast("double").alias("value")))
     long = (wide.select("epoch", F.explode(F.array(*stacks)).alias("s"))
                 .select("epoch", "s.*"))
-    return _z_screen(long, "epoch", z_threshold, round_to)
+    return _z_screen(long, "epoch", z_threshold)
 
 
 def manifest_anomalies(manifest: DataFrame, *, partition_col: str,
                        metrics: Sequence[str] = ("null_frac",
                                                  "approx_distinct"),
-                       z_threshold: float = 3.0,
-                       round_to: int = 6) -> DataFrame:
+                       z_threshold: float = 3.0) -> DataFrame:
     """Anomaly screen over an already-persisted :func:`stats_manifest`
     (e.g. the one a :class:`~joi_spark.checkpoint.CheckpointedRun`
     writes) — the 10^12-row path: each validation run leaves one tiny
@@ -220,4 +217,4 @@ def manifest_anomalies(manifest: DataFrame, *, partition_col: str,
     long = (manifest.select(F.col(partition_col), F.col("column"),
                             F.explode(F.array(*stacks)).alias("s"))
                     .select(partition_col, "column", "s.*"))
-    return _z_screen(long, partition_col, z_threshold, round_to)
+    return _z_screen(long, partition_col, z_threshold)

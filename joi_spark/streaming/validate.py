@@ -219,7 +219,7 @@ def stream_drift(stream_df: DataFrame, column: str,
     psi = terms[0]
     for t in terms[1:]:
         psi = psi + t
-    return (win.withColumn("psi", F.round(psi, 6))
+    return (win.withColumn("psi", psi)
                .withColumn("drifted", F.col("psi") > psi_threshold)
                .select("window", "n_rows", "psi", "drifted"))
 

@@ -156,7 +156,7 @@ def test_corpus_report_per_group_card(spark):
            for r in corpus_report(df).collect()}
     s1, s2 = got["s1"], got["s2"]
     assert s1["n_docs"] == 3 and s1["n_tokens"] == 3 + 3 + 2
-    assert s1["dup_docs"] == 2 and s1["dup_frac"] == round(2 / 3, 6)
+    assert s1["dup_docs"] == 2 and s1["dup_frac"] == 2 / 3
     assert s1["n_langs"] == 2 and s1["top_lang"] == "de" or \
            s1["top_lang"] == "en"   # en 2 vs de 1 -> en
     assert s1["top_lang"] == "en"

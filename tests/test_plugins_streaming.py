@@ -301,7 +301,7 @@ def test_stream_drift_flags_shifted_window(spark, stream_dirs):
         oov = sum(c for b, c in p_counts.items() if b not in q_fracs)
         p = oov / total + EPS
         s += (p - EPS) * math.log(p / EPS)
-        return round(s, 6)
+        return s
 
     qf = {"a": 0.5, "b": 0.5}
     assert got[0] == (psi({"a": 50, "b": 50}, qf, 100), False)

@@ -212,7 +212,7 @@ def test_window_dup_stats_matches_python_oracle(prop_spark, texts):
     for i, t in docs:
         wins = py_windows(t)
         dup = sum(1 for w in wins if len(owners[w]) >= 2)
-        frac = round(dup / len(wins), 6) if wins else 0.0
+        frac = dup / len(wins) if wins else 0.0
         want[i] = (len(wins), dup, frac)
 
     df = prop_spark.createDataFrame(docs, "doc_id bigint, text string")

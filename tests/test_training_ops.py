@@ -338,7 +338,7 @@ def test_repetition_signals(spark):
     # doc 0: grams = [a b, b a, a b, b a, a b] → top 'a b' ×3 of 5
     assert out[0]["top_ngram"] == "a b"
     assert out[0]["dup_ngram_frac"] == 1.0
-    assert out[0]["top_ngram_frac"] == round(3 * 3 / 11, 6)
+    assert out[0]["top_ngram_frac"] == 3 * 3 / 11
     # doc 1: 4 non-empty lines, 'line one' ×3 duplicated
     assert out[1]["n_lines"] == 4
     assert out[1]["dup_line_frac"] == 0.75
@@ -686,7 +686,7 @@ def test_window_dup_stats_cross_doc_only(spark):
     assert got[3] == (0, 0, 0.0)
     # doc 4: 9 windows; the two copies of the shared window ARE
     # duplicated (docs 0/1 have it); the 7 straddle windows are its own
-    assert got[4] == (9, 2, round(2 / 9, 6))
+    assert got[4] == (9, 2, 2 / 9)
 
 
 def test_window_within_doc_repeat_not_duplicated(spark):
