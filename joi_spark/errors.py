@@ -256,9 +256,11 @@ def _lang_lookup(table: dict | None, code: str) -> str | None:
 
 
 def _escape_html(s: str) -> str:
-    # Hoek.escapeHtml's named-entity set
+    # Hoek.escapeHtml's unsafe set incl. quote/backtick (so values
+    # spliced into single-quoted attribute contexts stay inert)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
-             .replace(">", "&gt;").replace('"', "&quot;"))
+             .replace(">", "&gt;").replace('"', "&quot;")
+             .replace("'", "&#x27;").replace("`", "&#x60;"))
 
 
 def _override(overrides: dict | None, code: str) -> str | None:
@@ -338,15 +340,19 @@ def _interpolate(template: str, ctx: dict[str, Any]) -> str:
     def repl(m):
         wrap_pref = _ERROR_PREFS["wrap_arrays"]
         esc = _escape_html if _ERROR_PREFS["escape_html"] else (lambda s: s)
-        if m.group(1) is not None:          # double-brace: raw, wrapped
-            return stringify(ctx.get(m.group(1), ""),
-                             wrap_arrays=wrap_pref)
-        if m.group(2) is not None:          # single-brace: escaped
-            return esc(stringify(ctx.get(m.group(2), ""),
-                                 wrap_arrays=False))
+        if m.group(1) is not None:
+            # double-brace: wrapped, NON-raw — this is the form
+            # escapeHtml applies to (reference: template.js:167 raw =
+            # part[0] !== '{'; :185 Hoek.escapeHtml on non-raw parts)
+            return esc(stringify(ctx.get(m.group(1), ""),
+                                 wrap_arrays=wrap_pref))
+        if m.group(2) is not None:          # single-brace: raw
+            return stringify(ctx.get(m.group(2), ""),
+                             wrap_arrays=False)
         try:
-            return esc(stringify(_eval_formula(m.group(3), ctx),
-                                 wrap_arrays=False))
+            # single-brace formula: raw, like any {x} part
+            return stringify(_eval_formula(m.group(3), ctx),
+                             wrap_arrays=False)
         except Exception:
             return m.group(0)   # non-evaluable braces pass through
     return _re.sub(
@@ -364,15 +370,11 @@ def render_column(code: str, ctx: dict[str, Any], value_col: Column, *,
     cols: list[Column] = []
     for i, part in enumerate(parts):
         if i:
-            v = F.coalesce(value_col.cast("string"), F.lit("null"))
-            if _ERROR_PREFS["escape_html"]:
-                # {[.]} is a single-brace (non-raw) substitution —
-                # Column-side Hoek.escapeHtml; & first so entities
-                # from later passes aren't double-escaped
-                for ch, ent in (("&", "&amp;"), ("<", "&lt;"),
-                                (">", "&gt;"), ('"', "&quot;")):
-                    v = F.replace(v, F.lit(ch), F.lit(ent))
-            cols.append(v)
+            # {[.]} is a SINGLE-brace form → raw: never HTML-escaped,
+            # even with escape_html on (reference: template.js:167,185
+            # — only non-raw double-brace parts pass Hoek.escapeHtml)
+            cols.append(F.coalesce(value_col.cast("string"),
+                                   F.lit("null")))
         if part:
             cols.append(F.lit(_interpolate(part, ctx)))
     return F.concat(*cols)

@@ -15,13 +15,47 @@ from pyspark.sql import functions as F
 EPS = 1e-6  # smoothing for empty cells, standard PSI practice
 
 
+MAX_CATEGORIES = 1000   # categorical-bucket valve (see _fractions)
+
+
 def _fractions(df: DataFrame, column: str, epoch_col: str,
-               n_buckets: int, dtype: str) -> DataFrame:
+               n_buckets: int, dtype: str,
+               max_categories: int = MAX_CATEGORIES) -> DataFrame:
     """(epoch, bucket, frac) — bucket is the value for categoricals,
-    a fixed-width bin index for numerics/timestamps."""
+    a fixed-width bin index for numerics/timestamps.
+
+    Categorical buckets are CAPPED at ``max_categories`` (top by
+    global mass, ties to the lexicographically smaller value, the
+    tail pooled into ``__other__``): raw distinct values would make
+    the "bounded by epochs × buckets" contract of
+    :func:`_collected_fractions` false for high-cardinality columns —
+    an id-like column would collect epochs × millions of rows to the
+    driver.  The cap is a plan-side TakeOrdered + broadcast semi-map,
+    never a driver round-trip."""
     col = F.col(column)
     if dtype in ("string", "boolean"):
         bucket = col.cast("string")
+        counts = (df.filter(col.isNotNull())
+                    .groupBy(F.col(epoch_col).alias("epoch"),
+                             bucket.alias("bucket"))
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+        top = (counts.groupBy("bucket")
+                     .agg(F.sum("cnt").alias("_mass"))
+                     .orderBy(F.desc("_mass"), F.asc("bucket"))
+                     .limit(max_categories)
+                     .select("bucket", F.lit(True).alias("_keep")))
+        counts = (counts.join(F.broadcast(top), "bucket", "left")
+                        .withColumn("bucket",
+                                    F.when(F.col("_keep").isNotNull(),
+                                           F.col("bucket"))
+                                     .otherwise(F.lit("__other__")))
+                        .groupBy("epoch", "bucket")
+                        .agg(F.sum("cnt").alias("cnt")))
+        totals = counts.groupBy("epoch").agg(F.sum("cnt").alias("total"))
+        return (counts.join(totals, "epoch")
+                      .select("epoch", "bucket",
+                              (F.col("cnt") / F.col("total"))
+                              .alias("frac")))
     else:
         base = F.unix_micros(col).cast("double") if dtype.startswith("timestamp") \
             else col.cast("double")
@@ -44,7 +78,8 @@ def _fractions(df: DataFrame, column: str, epoch_col: str,
 
 
 def _collected_fractions(df: DataFrame, column: str, epoch_col: str,
-                         n_buckets: int, baseline_epoch):
+                         n_buckets: int, baseline_epoch,
+                         max_categories: int = MAX_CATEGORIES):
     """ONE Spark job: the ``(epoch, bucket, frac)`` aggregate —
     bounded by epochs × buckets regardless of input size — collected
     to the driver, plus the resolved baseline epoch (min over the
@@ -60,7 +95,8 @@ def _collected_fractions(df: DataFrame, column: str, epoch_col: str,
     for a drift report.  At 100 TB the collected set is still
     epochs × buckets."""
     dtype = dict(df.dtypes)[column]
-    frac = _fractions(df, column, epoch_col, n_buckets, dtype)
+    frac = _fractions(df, column, epoch_col, n_buckets, dtype,
+                      max_categories)
     # NULL-epoch rows are excluded, as the lazy form's `epoch !=
     # baseline` null-rejecting filter always did
     rows = [r for r in frac.collect() if r["epoch"] is not None]
@@ -95,7 +131,8 @@ def _divergence_result(df: DataFrame, rows, baseline_epoch, epoch_field,
 
 
 def psi(df: DataFrame, column: str, *, epoch_col: str = "epoch",
-        baseline_epoch=None, n_buckets: int = 20) -> DataFrame:
+        baseline_epoch=None, n_buckets: int = 20,
+        max_categories: int = MAX_CATEGORIES) -> DataFrame:
     """Population Stability Index of ``column`` for every epoch vs the
     baseline epoch (default: the smallest epoch value).
 
@@ -110,7 +147,7 @@ def psi(df: DataFrame, column: str, *, epoch_col: str = "epoch",
     """
     import math
     rows, baseline_epoch, ef = _collected_fractions(
-        df, column, epoch_col, n_buckets, baseline_epoch)
+        df, column, epoch_col, n_buckets, baseline_epoch, max_categories)
 
     def _psi(p, q, buckets):
         s = 0.0
@@ -125,7 +162,8 @@ def psi(df: DataFrame, column: str, *, epoch_col: str = "epoch",
 
 
 def js_divergence(df: DataFrame, column: str, *, epoch_col: str = "epoch",
-                  baseline_epoch=None, n_buckets: int = 20) -> DataFrame:
+                  baseline_epoch=None, n_buckets: int = 20,
+                  max_categories: int = MAX_CATEGORIES) -> DataFrame:
     """Jensen–Shannon divergence of ``column`` per epoch vs baseline —
     the bounded, symmetric companion to :func:`psi` (JSD ∈ [0, ln 2];
     PSI is unbounded and explodes on vanished categories, so
@@ -136,7 +174,7 @@ def js_divergence(df: DataFrame, column: str, *, epoch_col: str = "epoch",
     :func:`psi`."""
     import math
     rows, baseline_epoch, ef = _collected_fractions(
-        df, column, epoch_col, n_buckets, baseline_epoch)
+        df, column, epoch_col, n_buckets, baseline_epoch, max_categories)
 
     def _jsd(p, q, buckets):
         s = 0.0
@@ -205,13 +243,18 @@ def baseline_fractions(df: DataFrame, column: str, *,
     must come from the baseline era and be reused verbatim on the
     stream side."""
     b = _bucketize(F.col(column), bins)
-    counts = (df.filter(F.col(column).isNotNull())
-                .groupBy(b.alias("bucket"))
+    nn = df.filter(F.col(column).isNotNull())
+    counts = (nn.groupBy(b.alias("bucket"))
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .orderBy(F.desc("cnt"), "bucket").limit(top_k))
-    total = counts.agg(F.sum("cnt")).first()[0]
-    return counts.select("bucket",
-                         (F.col("cnt") / F.lit(float(total))).alias("q"))
+    # normalize by the FULL corpus count, not the retained top_k sum:
+    # dividing by the truncated sum inflates every retained fraction
+    # and silently shifts the true tail mass into stream_drift's
+    # OOV-vs-EPS term, biasing streaming PSI upward on heavy tails
+    total = nn.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+                  .select("bucket",
+                          (F.col("cnt") / F.col("_total")).alias("q")))
 
 
 def _bucketize(col, bins: tuple[float, float, int] | None):

@@ -126,7 +126,8 @@ def weighted_sample_topk(df: DataFrame, weight_col: str, k: int,
 
 def mix_to_target(df: DataFrame, strata_col: str,
                   targets: dict[str, float],
-                  id_col: str = "doc_id", seed: str = "") -> DataFrame:
+                  id_col: str = "doc_id", seed: str = "",
+                  strict: bool = False) -> DataFrame:
     """Resample a corpus to TARGET mixture proportions (domain /
     language reweighting, the data-mixing step of a training
     pipeline): the output's per-stratum composition approximates
@@ -139,7 +140,12 @@ def mix_to_target(df: DataFrame, strata_col: str,
     rows via the same lexicographic md5-hex threshold as
     :func:`hash_sample`, so the draw is reproducible from (ids, seed,
     targets) alone.  Strata absent from ``targets`` are dropped (the
-    targets define the output universe).
+    targets define the output universe).  A TARGET stratum absent
+    from the corpus makes the request infeasible: its count enters
+    the reduction as 0, so N* = 0 and the result is EMPTY rather
+    than a mixture that silently misses the target; pass
+    ``strict=True`` to raise naming the missing strata instead (one
+    extra driver-side check of the tiny counts table).
 
     Entirely declarative — no driver-side count round-trip: the
     per-stratum counts are one partial-aggregated groupBy (a scan
@@ -157,9 +163,22 @@ def mix_to_target(df: DataFrame, strata_col: str,
     tgt = spark.createDataFrame(
         [(k, float(v)) for k, v in targets.items()],
         f"`{strata_col}` string, _tf double")
-    counts = (df.groupBy(strata_col)
-                .agg(F.count(F.lit(1)).cast("double").alias("_n"))
-                .join(tgt, strata_col))
+    # LEFT join from the targets side: a target stratum ABSENT from
+    # the corpus must reach the N* reduction as count 0 (N* = 0 → an
+    # empty result), not silently drop out of the min — an inner join
+    # here made the output mixture quietly ignore infeasible targets
+    counts = (tgt.join(df.groupBy(strata_col)
+                         .agg(F.count(F.lit(1)).cast("double")
+                               .alias("_n")),
+                       strata_col, "left")
+                 .withColumn("_n", F.coalesce("_n", F.lit(0.0))))
+    if strict:
+        missing = [r[strata_col] for r in
+                   counts.filter(F.col("_n") == 0).collect()]
+        if missing:
+            raise ValueError(
+                f"mix_to_target: target strata absent from the corpus "
+                f"(no rows to sample): {sorted(missing)}")
     nstar = counts.agg(F.min(F.col("_n") / F.col("_tf")).alias("_nstar"))
     # rate = (target · N*) / count, in THIS multiply-then-divide order
     # (both engines run the identical IEEE sequence)

@@ -198,10 +198,11 @@ def test_errors_prefs_escape_html_and_wrap_arrays(spark):
         return joi.validate(df, s, prefs=prefs,
                             order_by=["id"]).violations() \
                   .collect()[0]["message"]
-    # single-brace substitutions escape; double-brace stays raw
+    # double-brace (non-raw) substitutions escape; single-brace and
+    # {[.]} stay raw (reference: template.js:167,185)
     assert msg(None) == "bad a<b raw [a<b] val <bad&val>"
     assert msg({"errors": {"escape_html": True}}) == \
-        "bad a&lt;b raw [a<b] val &lt;bad&amp;val&gt;"
+        "bad a<b raw [a&lt;b] val <bad&val>"
     s2 = joi.object({"v": joi.string().valid("x", "y").messages(
         {"any.only": "not in {{#valids}}"})})
     got = joi.validate(df, s2,

@@ -346,3 +346,18 @@ def test_stream_dedup_in_stream_and_history(spark, stream_dirs):
     # the in-stream dup kept exactly one of doc 1/2
     ids = {r["doc_id"] for r in got}
     assert len(ids & {1, 2}) == 1 and {3, 4} <= ids and 0 not in ids
+
+
+def test_baseline_fractions_normalized_by_full_corpus(spark):
+    """q is normalized by the TOTAL corpus count, not the retained
+    top-k sum — truncation must shift mass into the (implicit) tail,
+    not inflate the retained fractions (round-3 advice)."""
+    from joi_spark.operators.drift import baseline_fractions
+    rows = ([(i, "a") for i in range(60)] + [(i, "b") for i in range(30)]
+            + [(i, "c") for i in range(10)])
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)], "id bigint, v string")
+    got = {r["bucket"]: r["q"]
+           for r in baseline_fractions(df, "v", top_k=2).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == 0.6 and got["b"] == 0.3   # NOT 60/90, 30/90

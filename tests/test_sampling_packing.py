@@ -374,3 +374,20 @@ def test_tfidf_topk_terms_ranks_distinctive_tokens(spark):
     # ties break token-asc deterministically
     assert got[(2, 1)][0] == "here" and got[(2, 2)][0] == "only"
     assert (3, 1) not in got     # null docs emit nothing
+
+
+def test_mix_to_target_infeasible_stratum_empty_not_silent(spark):
+    """A target stratum with zero corpus rows makes the request
+    infeasible: N* = 0 → EMPTY result (round-3 advice), never a
+    mixture that quietly misses the target."""
+    rows = [(i, "A") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    got = SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5})
+    assert got.count() == 0
+
+
+def test_mix_to_target_strict_raises_on_missing_stratum(spark):
+    df = spark.createDataFrame([(0, "A")], "doc_id bigint, src string")
+    with pytest.raises(ValueError, match="GHOST"):
+        SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5},
+                         strict=True)
