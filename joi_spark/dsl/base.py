@@ -436,8 +436,21 @@ class Schema:
 
     # -- preferences (reference: lib/base.js:246-257,283-290) ---------
     def prefs(self, prefs: dict) -> "Schema":
+        # reference asserts BEFORE checking the key set
+        # (lib/base.js:246-250) — same messages, same order
+        for key in ("context", "externals", "warnings"):
+            if key in prefs:
+                raise ValueError(f"Cannot override {key}")
+        from joi_spark import check_preferences
+        check_preferences(prefs)   # typo'd keys raise, never no-op
         n = self.clone()
-        n._preferences = {**(n._preferences or {}), **prefs}
+        merged = {**(n._preferences or {}), **prefs}
+        # nested errors dicts merge, they don't replace
+        # (reference: lib/common.js:147-151)
+        if "errors" in prefs and (n._preferences or {}).get("errors"):
+            merged["errors"] = {**n._preferences["errors"],
+                                **prefs["errors"]}
+        n._preferences = merged
         return n
 
     options = prefs

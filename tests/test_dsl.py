@@ -307,3 +307,26 @@ def test_concat_deep_merges_language_messages():
     c = a.concat(b)
     assert c._messages["english"] == {"string.min": "en min",
                                       "string.max": "en max"}
+
+
+def test_schema_prefs_validates_keys(spark):
+    """Schema.prefs() asserts its input like the reference
+    (lib/base.js:246-250 overrides, then common.js checkPreferences):
+    a typo'd pref must raise, never merge silently (round-3 verdict)."""
+    import joi_spark as joi
+    s = joi.string()
+    with pytest.raises(ValueError, match="unknown preferences"):
+        s.prefs({"covert": False})            # the classic typo
+    with pytest.raises(ValueError, match="Cannot override context"):
+        s.prefs({"context": {}})
+    with pytest.raises(ValueError, match="Cannot override externals"):
+        s.prefs({"externals": False})
+    with pytest.raises(ValueError, match="Cannot override warnings"):
+        s.prefs({"warnings": True})
+    with pytest.raises(ValueError, match="unknown errors preferences"):
+        s.prefs({"errors": {"wrapArrays": True}})
+    # valid keys still merge, nested errors dicts deep-merge
+    s2 = s.prefs({"errors": {"wrap_arrays": False}}) \
+          .prefs({"errors": {"escape_html": True}})
+    assert s2._preferences["errors"] == {"wrap_arrays": False,
+                                         "escape_html": True}
