@@ -27,13 +27,28 @@ def _is_path(ref: str) -> bool:
     return "/" in ref or ref.endswith(".parquet")
 
 
+def _missing_format(e: Exception) -> bool:
+    """True only for "the iceberg data source isn't on the classpath"
+    errors — the ONE condition the parquet fallback exists for.  A
+    genuine Iceberg failure (corrupt metadata, missing snapshot, bad
+    credentials) must propagate, not get silently retried as a parquet
+    directory scan that would misread the table layout."""
+    s = str(e)
+    return ("DATA_SOURCE_NOT_FOUND" in s
+            or "Failed to find data source" in s
+            or "Failed to find the data source" in s
+            or "ClassNotFoundException" in s)
+
+
 def read_table(spark: SparkSession, ref: str,
                partition_filter: Column | None = None) -> DataFrame:
     """Load a transcript table from a catalog name or a path."""
     if _is_path(ref):
         try:
             df = spark.read.format("iceberg").load(ref)
-        except Exception:
+        except Exception as e:
+            if not _missing_format(e):
+                raise
             df = spark.read.parquet(ref)
     else:
         df = spark.table(ref)
@@ -51,7 +66,9 @@ def write_table(df: DataFrame, ref: str, *, mode: str = "append",
             w = w.partitionBy(*partition_by)
         try:
             w.format("iceberg").save(ref)
-        except Exception:
+        except Exception as e:
+            if not _missing_format(e):
+                raise
             w.parquet(ref)
     else:
         if mode == "overwrite":

@@ -199,3 +199,42 @@ def test_checkpoint_stats_lineage_survives_schema_change(spark, ckpt_dir):
     # each hash sees exactly its own stats rows
     assert run1.stats(spark).count() == 2
     assert run2.stats(spark).count() == 2
+
+
+def test_iceberg_fallback_only_on_missing_format(spark, tmp_path,
+                                                 monkeypatch):
+    """read_table's parquet fallback fires ONLY when the iceberg data
+    source is absent from the classpath; a genuine Iceberg read error
+    (corrupt metadata, bad snapshot) propagates instead of being
+    silently retried as a parquet scan (round-3 verdict item 8)."""
+    from pyspark.sql.readwriter import DataFrameReader
+    from joi_spark.sources.iceberg import read_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id bigint, v string") \
+         .write.parquet(path)
+    real_load = DataFrameReader.load
+
+    def fake_load(self, p=None, format=None, **kw):
+        if getattr(self, "_format_hint", None) == "iceberg":
+            raise RuntimeError(fake_load.err)
+        return real_load(self, p, **kw)
+
+    real_format = DataFrameReader.format
+
+    def fake_format(self, source):
+        self._format_hint = source
+        return real_format(self, source)
+
+    monkeypatch.setattr(DataFrameReader, "load", fake_load)
+    monkeypatch.setattr(DataFrameReader, "format", fake_format)
+
+    # missing-format error → parquet fallback, rows come back
+    fake_load.err = ("[DATA_SOURCE_NOT_FOUND] Failed to find the data "
+                     "source: iceberg.")
+    assert read_table(spark, path).count() == 1
+
+    # genuine Iceberg failure → propagates verbatim
+    fake_load.err = "Cannot read Iceberg metadata: snapshot 42 missing"
+    with pytest.raises(RuntimeError, match="snapshot 42 missing"):
+        read_table(spark, path)
