@@ -115,6 +115,17 @@ def run_query_suite(spark, sf_dir: str) -> dict:
     for t in ("orders", "lineitem", "events", "documents", "embeddings",
               "customer", "part"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    # warm the bucketed-saveAsTable path too (catalog init + insert
+    # codegen, ~8 s one-time in a cold JVM): a long-lived production
+    # session pays this once, so the per-query timings shouldn't
+    # charge it to whichever index-building query happens to run first
+    spark.sql("DROP TABLE IF EXISTS _bench_warm")
+    (spark.range(64).withColumn("k", F.col("id") % 4)
+          .repartition(4, "k").write.mode("overwrite")
+          .bucketBy(4, "k").sortBy("k")
+          .option("path", "/tmp/joi_bench_warm").format("parquet")
+          .saveAsTable("_bench_warm"))
+    spark.sql("DROP TABLE IF EXISTS _bench_warm")
     out = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
