@@ -15,47 +15,18 @@ from pyspark.sql import functions as F
 EPS = 1e-6  # smoothing for empty cells, standard PSI practice
 
 
-MAX_CATEGORIES = 1000   # categorical-bucket valve (see _fractions)
+MAX_CATEGORIES = 1000   # categorical-bucket valve (see _collected_fractions)
 
 
-def _fractions(df: DataFrame, column: str, epoch_col: str,
-               n_buckets: int, dtype: str,
-               max_categories: int = MAX_CATEGORIES) -> DataFrame:
-    """(epoch, bucket, frac) — bucket is the value for categoricals,
-    a fixed-width bin index for numerics/timestamps.
-
-    Categorical buckets are CAPPED at ``max_categories`` (top by
-    global mass, ties to the lexicographically smaller value, the
-    tail pooled into ``__other__``): raw distinct values would make
-    the "bounded by epochs × buckets" contract of
-    :func:`_collected_fractions` false for high-cardinality columns —
-    an id-like column would collect epochs × millions of rows to the
-    driver.  The cap is a plan-side TakeOrdered + broadcast semi-map,
-    never a driver round-trip."""
+def _counts(df: DataFrame, column: str, epoch_col: str,
+            n_buckets: int, dtype: str) -> DataFrame:
+    """Lazy ``(epoch, bucket, cnt)`` aggregate — bucket is the value
+    for categoricals, a fixed-width bin index for
+    numerics/timestamps.  Map-side combined; the only extra job is
+    the numeric min/max bounds probe."""
     col = F.col(column)
     if dtype in ("string", "boolean"):
         bucket = col.cast("string")
-        counts = (df.filter(col.isNotNull())
-                    .groupBy(F.col(epoch_col).alias("epoch"),
-                             bucket.alias("bucket"))
-                    .agg(F.count(F.lit(1)).alias("cnt")))
-        top = (counts.groupBy("bucket")
-                     .agg(F.sum("cnt").alias("_mass"))
-                     .orderBy(F.desc("_mass"), F.asc("bucket"))
-                     .limit(max_categories)
-                     .select("bucket", F.lit(True).alias("_keep")))
-        counts = (counts.join(F.broadcast(top), "bucket", "left")
-                        .withColumn("bucket",
-                                    F.when(F.col("_keep").isNotNull(),
-                                           F.col("bucket"))
-                                     .otherwise(F.lit("__other__")))
-                        .groupBy("epoch", "bucket")
-                        .agg(F.sum("cnt").alias("cnt")))
-        totals = counts.groupBy("epoch").agg(F.sum("cnt").alias("total"))
-        return (counts.join(totals, "epoch")
-                      .select("epoch", "bucket",
-                              (F.col("cnt") / F.col("total"))
-                              .alias("frac")))
     else:
         base = F.unix_micros(col).cast("double") if dtype.startswith("timestamp") \
             else col.cast("double")
@@ -67,42 +38,81 @@ def _fractions(df: DataFrame, column: str, epoch_col: str,
             width = (hi - lo) / n_buckets
             bucket = F.least(F.floor((base - F.lit(lo)) / F.lit(width)),
                              F.lit(n_buckets - 1)).cast("string")
-    counts = (df.filter(col.isNotNull())
-                .groupBy(F.col(epoch_col).alias("epoch"),
-                         bucket.alias("bucket"))
-                .agg(F.count(F.lit(1)).alias("cnt")))
-    totals = counts.groupBy("epoch").agg(F.sum("cnt").alias("total"))
-    return (counts.join(totals, "epoch")
-                  .select("epoch", "bucket",
-                          (F.col("cnt") / F.col("total")).alias("frac")))
+    return (df.filter(col.isNotNull())
+              .groupBy(F.col(epoch_col).alias("epoch"),
+                       bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
 
 
 def _collected_fractions(df: DataFrame, column: str, epoch_col: str,
                          n_buckets: int, baseline_epoch,
                          max_categories: int = MAX_CATEGORIES):
-    """ONE Spark job: the ``(epoch, bucket, frac)`` aggregate —
-    bounded by epochs × buckets regardless of input size — collected
-    to the driver, plus the resolved baseline epoch (min over the
-    collected epochs, so no separate min-scan job) and the epoch
-    field's Spark type (to rebuild the result schema faithfully).
+    """The ``(epoch, bucket, frac)`` table as driver-side dicts —
+    BOUNDED by epochs × min(buckets, max_categories + 1) regardless of
+    input size or column cardinality — plus the resolved baseline
+    epoch and the epoch field's Spark type.
 
     Why collect instead of staying lazy: the divergence math consumes
     this aggregate four ways (baseline slice, epoch set, bucket set,
     dense grid).  As lazy Spark, each BROADCAST subtree is its own
     job re-running the full source aggregation — measured 5 jobs /
     6.0 s for a 6-row JSD answer at sf0.1; finishing the ≤ thousands
-    of rows driver-side is 1 job / ~1.5 s and is what any engine does
-    for a drift report.  At 100 TB the collected set is still
-    epochs × buckets."""
+    of rows driver-side is what any engine does for a drift report.
+
+    Categorical cardinality valve: ONE probe (top ``max_categories``
+    buckets by global mass over the map-side-combined count
+    aggregate, ties to the smaller value) decides whether the column
+    truncates.  The common low-cardinality case pays just that probe
+    + one bounded collect; a high-cardinality column additionally
+    pools its tail into an ``__other__`` bucket per epoch (true
+    per-epoch remainder, from the per-epoch totals) so fractions
+    still sum to 1 and the driver never holds more than the cap.
+    The counts aggregate is persisted across these 2-3 jobs — the
+    source is scanned once."""
     dtype = dict(df.dtypes)[column]
-    frac = _fractions(df, column, epoch_col, n_buckets, dtype,
-                      max_categories)
+    counts = _counts(df, column, epoch_col, n_buckets, dtype)
+    epoch_field = counts.schema["epoch"]
+    if dtype in ("string", "boolean"):
+        counts = counts.persist()
+        try:
+            mass = (counts.groupBy("bucket")
+                          .agg(F.sum("cnt").alias("_m"))
+                          .orderBy(F.desc("_m"), F.asc("bucket"))
+                          .limit(max_categories + 1).collect())
+            if len(mass) <= max_categories:
+                collected = [r.asDict() for r in counts.collect()]
+            else:
+                top = {r["bucket"] for r in mass[:max_categories]}
+                kept = [r.asDict() for r in
+                        counts.filter(F.col("bucket").isin(list(top)))
+                              .collect()]
+                totals = {r["epoch"]: r["t"] for r in
+                          counts.groupBy("epoch")
+                                .agg(F.sum("cnt").alias("t")).collect()}
+                seen: dict = {}
+                for r in kept:
+                    seen[r["epoch"]] = seen.get(r["epoch"], 0) + r["cnt"]
+                other = [{"epoch": e, "bucket": "__other__",
+                          "cnt": totals[e] - seen.get(e, 0)}
+                         for e in totals
+                         if totals[e] - seen.get(e, 0) > 0]
+                collected = kept + other
+        finally:
+            counts.unpersist()
+    else:
+        collected = [r.asDict() for r in counts.collect()]
     # NULL-epoch rows are excluded, as the lazy form's `epoch !=
     # baseline` null-rejecting filter always did
-    rows = [r for r in frac.collect() if r["epoch"] is not None]
+    collected = [r for r in collected if r["epoch"] is not None]
+    totals_by_epoch: dict = {}
+    for r in collected:
+        totals_by_epoch[r["epoch"]] = \
+            totals_by_epoch.get(r["epoch"], 0) + r["cnt"]
+    rows = [{"epoch": r["epoch"], "bucket": r["bucket"],
+             "frac": r["cnt"] / totals_by_epoch[r["epoch"]]}
+            for r in collected]
     if baseline_epoch is None and rows:
         baseline_epoch = min(r["epoch"] for r in rows)
-    epoch_field = frac.schema["epoch"]
     return rows, baseline_epoch, epoch_field
 
 
@@ -203,7 +213,7 @@ def ks_statistic(df: DataFrame, column: str, *, epoch_col: str = "epoch",
                          "categoricals")
     rows, baseline_epoch, ef = _collected_fractions(
         df, column, epoch_col, n_buckets, baseline_epoch)
-    rows = [r.asDict() | {"bucket": int(r["bucket"])} for r in rows]
+    rows = [r | {"bucket": int(r["bucket"])} for r in rows]
 
     def _ks(p, q, buckets):
         d = cp = cq = 0.0
@@ -213,8 +223,6 @@ def ks_statistic(df: DataFrame, column: str, *, epoch_col: str = "epoch",
             d = max(d, abs(cp - cq))
         return d
 
-    from pyspark.sql import Row
-    rows = [Row(**r) for r in rows]
     return _divergence_result(df, rows, baseline_epoch, ef,
                               column, "ks", _ks)
 
