@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 
 TRANSCRIPT_TURNS = int(os.environ.get("JOI_BENCH_TURNS", 8_000_000))
-SCALING_TURNS = int(os.environ.get("JOI_BENCH_SCALING_TURNS", 16_000_000))
+# 64M: long enough legs (~20 s at local[4]) that the one-time driver
+# cost of planning + two actions (~2-3 s, paid equally by both legs)
+# doesn't dominate the 4x leg — at 16M turns that fixed cost alone
+# caps measurable efficiency near 0.5 regardless of the engine
+SCALING_TURNS = int(os.environ.get("JOI_BENCH_SCALING_TURNS", 64_000_000))
 BENCH_FILES = 128   # pre-split input so scans parallelize at every level
 
 

@@ -169,6 +169,87 @@ class ValidationResult:
             out = out.orderBy(*self.order_by, "seq")
         return out
 
+    def annotate(self, rows: int = 1, *,
+                 strip_color_codes: bool = True,
+                 max_violations: int = 200) -> str:
+        """Positional annotation of failing rows — the table analogue
+        of the reference's ``error.annotate()``
+        (lib/errors.js:227-300): each of the first ``rows`` failing
+        rows (by ``order_by``) renders as a JSON-ish dump with
+        ``[n]`` markers on the offending columns, ``-- missing --``
+        for required-but-null cells (red bg/fg escapes unless
+        ``strip_color_codes``), followed by the numbered messages.
+
+        Nested paths (``a.b``) mark their TOP-level column — a table
+        row is one JSON object deep from the engine's point of view;
+        the full path stays visible in the message line.  Driver cost
+        is ``rows`` collected rows + ``max_violations`` violation
+        records, independent of table size."""
+        import json
+
+        red = "" if strip_color_codes else "\u001b[31m"
+        bg = "" if strip_color_codes else "\u001b[41m"
+        end = "" if strip_color_codes else "\u001b[0m"
+
+        viols = self.violations().limit(max_violations).collect()
+        keyed: dict = {}
+        for v in viols:
+            k = tuple(v[c] for c in self.order_by)
+            keyed.setdefault(k, []).append(v)
+        keys = list(keyed)[:rows]
+        if not keys:
+            return "no violations"
+        cond = None
+        for k in keys:
+            eq = _balanced([F.col(c) == F.lit(val)
+                            for c, val in zip(self.order_by, k)],
+                           lambda a, b: a & b, F.lit(True))
+            cond = eq if cond is None else (cond | eq)
+        originals = {tuple(r[c] for c in self.order_by): r
+                     for r in self._renamed.filter(cond).collect()}
+
+        def cell(v):
+            try:
+                return json.dumps(v, default=str)
+            except TypeError:
+                return json.dumps(str(v))
+
+        blocks = []
+        for k in keys:
+            details = keyed[k]
+            row = originals.get(k)
+            rowd = row.asDict() if row is not None else {}
+            marks: dict = {}          # column -> [positions]
+            missing: dict = {}        # column -> position
+            for pos, d in enumerate(details, 1):
+                col = d["path"].split(".")[0]
+                if rowd.get(col) is None:
+                    missing.setdefault(col, pos)
+                else:
+                    marks.setdefault(col, []).append(pos)
+            lines = ["{"]
+            cols = list(rowd) if rowd else \
+                sorted(set(marks) | set(missing))
+            for i, c in enumerate(cols):
+                comma = "," if i + 1 < len(cols) else ""
+                if c in missing:
+                    lines.append(
+                        f'  {bg}"{c}"{end}{red} [{missing[c]}]: '
+                        f'-- missing --{end}{comma}')
+                elif c in marks:
+                    pos_s = ", ".join(str(p) for p in marks[c])
+                    lines.append(
+                        f'  "{c}" {red}[{pos_s}]{end}: '
+                        f'{cell(rowd.get(c))}{comma}')
+                else:
+                    lines.append(f'  "{c}": {cell(rowd.get(c))}{comma}')
+            lines.append("}")
+            lines.append(red.rstrip())
+            for pos, d in enumerate(details, 1):
+                lines.append(f"[{pos}] {d['message']}")
+            blocks.append("\n".join(lines) + end)
+        return "\n\n".join(blocks)
+
     @property
     def value(self) -> DataFrame:
         """The converted table — analogue of ``result.value``."""

@@ -279,3 +279,31 @@ def test_user_column_named_c0_not_clobbered(spark):
         [("_c0", "string.pattern.base")]
     assert rows[0]["message"] == \
         '"_c0" with value "bad" fails to match the required pattern: /^g/'
+
+
+def test_annotate_positional_markers(spark):
+    """Table analogue of the reference's error.annotate()
+    (lib/errors.js:227-300): JSON-ish row dump, [n] markers on
+    offending columns, -- missing -- for required-null cells, numbered
+    messages beneath."""
+    import joi_spark as joi
+    df = spark.createDataFrame(
+        [(1, "robot", None), (2, "user", "ok")],
+        "id bigint, role string, text string")
+    s = joi.object({
+        "role": joi.string().valid("user", "assistant"),
+        "text": joi.string().required(),
+    })
+    res = joi.validate(df, s, order_by=["id"],
+                       prefs={"abort_early": False})
+    out = res.annotate(rows=1)
+    assert '"role" [1]:' in out and '"robot"' in out
+    assert '"text" [2]: -- missing --' in out
+    assert '[1] "role" must be one of [user, assistant]' in out
+    assert '[2] "text" is required' in out
+    assert '"id": 1' in out
+    assert out.count("{") == 1
+    colored = res.annotate(rows=1, strip_color_codes=False)
+    assert chr(27) + "[31m" in colored and chr(27) + "[41m" in colored
+    ok = joi.validate(df.filter("id = 2"), s, order_by=["id"])
+    assert ok.annotate() == "no violations"
