@@ -38,7 +38,7 @@ BENCH_FILES = 128   # pre-split input so scans parallelize at every level
 def transcript_schema():
     import joi_spark as joi
     return joi.object({
-        "conv_id": joi.string().required().pattern("^c[0-9]{6}$"),
+        "conv_id": joi.string().required().pattern("^c[0-9]{6,8}$"),
         "turn_idx": joi.number().integer().min(0).required(),
         "role": joi.string().valid("system", "user", "assistant", "tool")
                    .required(),

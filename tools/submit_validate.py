@@ -36,7 +36,7 @@ def main() -> None:
     from joi_spark.checkpoint import CheckpointedRun
 
     schema = joi.object({
-        "conv_id": joi.string().required().pattern("^c[0-9]{6}$"),
+        "conv_id": joi.string().required().pattern("^c[0-9]{6,8}$"),
         "turn_idx": joi.number().integer().min(0).required(),
         "role": joi.string().valid("system", "user", "assistant", "tool")
                    .required(),
