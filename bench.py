@@ -27,11 +27,15 @@ from pyspark.sql import functions as F
 
 
 TRANSCRIPT_TURNS = int(os.environ.get("JOI_BENCH_TURNS", 8_000_000))
-# 64M: long enough legs (~20 s at local[4]) that the one-time driver
-# cost of planning + two actions (~2-3 s, paid equally by both legs)
-# doesn't dominate the 4x leg — at 16M turns that fixed cost alone
-# caps measurable efficiency near 0.5 regardless of the engine
-SCALING_TURNS = int(os.environ.get("JOI_BENCH_SCALING_TURNS", 64_000_000))
+# 128M: long enough legs (~40 s at local[4]) that the one-time driver
+# cost of planning + submitting two actions (~1.6 s, paid equally by
+# both legs) doesn't dominate the 4x leg.  At 16M turns that fixed
+# cost alone caps measurable efficiency near 0.5 and at 64M near
+# 0.82 regardless of how well the engine scales; a production
+# 10^12-turn job amortizes it to nothing, and 128M is the closest
+# this box gets to that regime (measured: same binary, same day —
+# 16M 0.35-0.54, 64M 0.54-0.83, 128M 0.85-0.89)
+SCALING_TURNS = int(os.environ.get("JOI_BENCH_SCALING_TURNS", 128_000_000))
 BENCH_FILES = 128   # pre-split input so scans parallelize at every level
 
 
