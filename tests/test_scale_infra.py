@@ -238,3 +238,18 @@ def test_iceberg_fallback_only_on_missing_format(spark, tmp_path,
     fake_load.err = "Cannot read Iceberg metadata: snapshot 42 missing"
     with pytest.raises(RuntimeError, match="snapshot 42 missing"):
         read_table(spark, path)
+
+
+def test_bench_fixture_stays_clean_past_a_million_convs(spark):
+    """Round-4 lesson: the 6-digit conv_id pattern silently made the
+    64M-turn scaling table 69%-violating (7-digit ids past 1M convs),
+    so the benchmark measured message rendering instead of validation.
+    Pin the invariant directly: a >1M-conversation clean table has
+    ZERO violations under the bench schema."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench as B
+    df = clean_transcripts(spark, n_convs=1_100_000, turns_per_conv=2)
+    res = joi.validate(df, B.transcript_schema(),
+                       prefs={"abort_early": False})
+    assert res.violations().count() == 0
