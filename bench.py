@@ -147,6 +147,24 @@ def run_query_suite(spark, sf_dir: str) -> dict:
           .option("path", "/tmp/joi_bench_warm").format("parquet")
           .saveAsTable("_bench_warm"))
     spark.sql("DROP TABLE IF EXISTS _bench_warm")
+    # ... and the dynamic-partitioned insert path (ivf_index writes
+    # list_id-partitioned parquet; its first use otherwise pays the
+    # partitioned-write codegen inside the timed query)
+    (spark.range(64).withColumn("k", (F.col("id") % 4).cast("int"))
+          .write.mode("overwrite").partitionBy("k")
+          .parquet("/tmp/joi_bench_warm_part"))
+    # ... and the generic exchange/broadcast/window machinery: the
+    # session's FIRST shuffle, broadcast join and window each pay
+    # one-time setup (shuffle writer codegen, broadcast thread pool,
+    # AQE paths) that otherwise lands on whichever timed query runs
+    # first (measured: the suite's lead query absorbs 2-5 s of it)
+    from pyspark.sql import Window as _W
+    warm = spark.range(10000).withColumn("k", F.col("id") % 7)
+    warm.groupBy("k").count().count()
+    warm.join(F.broadcast(spark.range(7).withColumnRenamed("id", "k")),
+              "k").count()
+    warm.withColumn("r", F.row_number().over(
+        _W.partitionBy("k").orderBy("id"))).count()
     out = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
