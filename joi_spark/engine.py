@@ -199,14 +199,25 @@ class ValidationResult:
         keys = list(keyed)[:rows]
         if not keys:
             return "no violations"
-        cond = None
-        for k in keys:
-            eq = _balanced([F.col(c) == F.lit(val)
-                            for c, val in zip(self.order_by, k)],
-                           lambda a, b: a & b, F.lit(True))
-            cond = eq if cond is None else (cond | eq)
-        originals = {tuple(r[c] for c in self.order_by): r
-                     for r in self._renamed.filter(cond).collect()}
+        if self.order_by:
+            cond = None
+            for k in keys:
+                eq = _balanced([F.col(c) == F.lit(val)
+                                for c, val in zip(self.order_by, k)],
+                               lambda a, b: a & b, F.lit(True))
+                cond = eq if cond is None else (cond | eq)
+            # bounded collect: the keyed filter matches ~len(keys)
+            # rows when order_by is a row key; the limit guards the
+            # driver when it is only a partial key
+            originals = {tuple(r[c] for c in self.order_by): r
+                         for r in self._renamed.filter(cond)
+                                               .limit(len(keys) * 8)
+                                               .collect()}
+        else:
+            # no row key: every violation shares the () group and a
+            # keyed fetch would collect the WHOLE table — render the
+            # markers without original row values instead
+            originals = {}
 
         def cell(v):
             try:

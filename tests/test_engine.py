@@ -307,3 +307,15 @@ def test_annotate_positional_markers(spark):
     assert chr(27) + "[31m" in colored and chr(27) + "[41m" in colored
     ok = joi.validate(df.filter("id = 2"), s, order_by=["id"])
     assert ok.annotate() == "no violations"
+
+
+def test_annotate_without_order_by_is_bounded(spark):
+    """No order_by -> annotate still renders (markers without original
+    values) and never collects the full table."""
+    import joi_spark as joi
+    df = spark.createDataFrame([(i, None) for i in range(1000)],
+                               "id bigint, v string")
+    s = joi.object({"v": joi.string().required()})
+    res = joi.validate(df, s, prefs={"abort_early": False})
+    out = res.annotate(rows=1)
+    assert '-- missing --' in out and '"v" is required' in out
