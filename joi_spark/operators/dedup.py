@@ -280,14 +280,18 @@ def _sub_block(df: DataFrame, id_col: str, keys: list[str],
     missed in that bucket; with OR-amplified tables/bands it can still
     collide elsewhere).
 
-    Only the OVER-cap buckets are broadcast (the hot tail is small by
-    definition); everything else takes ``_sub = 0`` via the left join.
+    Only the OVER-cap buckets join back (at most n/cap of them, and
+    in any real corpus far fewer); everything else takes ``_sub = 0``
+    via the left join.  No broadcast HINT: the hot side's size is only
+    known at runtime, so the choice is left to AQE — broadcast when the
+    tail really is small, shuffle (never OOM) on an adversarial corpus
+    where every bucket is just over cap.
     """
     hot = (df.groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("_bsz"))
              .filter(F.col("_bsz") > cap))
     nsub = F.ceil(F.col("_bsz") / F.lit(cap))
-    out = (df.join(F.broadcast(hot), keys, "left")
+    out = (df.join(hot, keys, "left")
              .withColumn("_sub",
                          F.when(F.col("_bsz").isNull(), F.lit(0))
                           .otherwise(F.pmod(F.xxhash64(F.col(id_col)),
