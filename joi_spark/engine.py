@@ -199,25 +199,22 @@ class ValidationResult:
         keys = list(keyed)[:rows]
         if not keys:
             return "no violations"
+        originals = {}
         if self.order_by:
-            cond = None
+            # one bounded limit-1 fetch PER key (keys <= rows, small):
+            # a single filtered collect could return only the first
+            # key's rows when order_by is a partial key, starving the
+            # rest; per-key limit(1) is deterministic and bounded
             for k in keys:
                 eq = _balanced([F.col(c) == F.lit(val)
                                 for c, val in zip(self.order_by, k)],
                                lambda a, b: a & b, F.lit(True))
-                cond = eq if cond is None else (cond | eq)
-            # bounded collect: the keyed filter matches ~len(keys)
-            # rows when order_by is a row key; the limit guards the
-            # driver when it is only a partial key
-            originals = {tuple(r[c] for c in self.order_by): r
-                         for r in self._renamed.filter(cond)
-                                               .limit(len(keys) * 8)
-                                               .collect()}
-        else:
-            # no row key: every violation shares the () group and a
-            # keyed fetch would collect the WHOLE table — render the
-            # markers without original row values instead
-            originals = {}
+                got = self._renamed.filter(eq).limit(1).collect()
+                if got:
+                    originals[k] = got[0]
+        # else: no row key — every violation shares the () group and a
+        # keyed fetch would collect the WHOLE table; render markers
+        # without original row values instead
 
         def cell(v):
             try:
@@ -231,11 +228,14 @@ class ValidationResult:
             row = originals.get(k)
             rowd = row.asDict() if row is not None else {}
             marks: dict = {}          # column -> [positions]
-            missing: dict = {}        # column -> position
+            missing: dict = {}        # column -> [positions]
             for pos, d in enumerate(details, 1):
                 col = d["path"].split(".")[0]
-                if rowd.get(col) is None:
-                    missing.setdefault(col, pos)
+                # only a FETCHED row can prove a cell is null — with
+                # no original available, a valid()-failure on a
+                # present value must not render as '-- missing --'
+                if row is not None and rowd.get(col) is None:
+                    missing.setdefault(col, []).append(pos)
                 else:
                     marks.setdefault(col, []).append(pos)
             lines = ["{"]
@@ -244,8 +244,9 @@ class ValidationResult:
             for i, c in enumerate(cols):
                 comma = "," if i + 1 < len(cols) else ""
                 if c in missing:
+                    mpos = ", ".join(str(p) for p in missing[c])
                     lines.append(
-                        f'  {bg}"{c}"{end}{red} [{missing[c]}]: '
+                        f'  {bg}"{c}"{end}{red} [{mpos}]: '
                         f'-- missing --{end}{comma}')
                 elif c in marks:
                     pos_s = ", ".join(str(p) for p in marks[c])

@@ -349,6 +349,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                            F.col("_b.bh").alias("_bh"))
     band_keys = ["_band", "_bh"]
     if max_bucket_size is not None:
+        if persist_index:
+            # the valve consumes banded THREE ways (hot-bucket agg +
+            # both join sides); without a persist the full signature
+            # aggregation re-runs for each — exactly on the degenerate
+            # corpora the valve exists for
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         banded, band_keys = _sub_block(banded, "_id", band_keys,
                                        max_bucket_size)
     a = banded.select(F.col("_id").alias("_ida"), *band_keys)
@@ -458,6 +464,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                            F.col("_c.cv").alias("_cv"))
     chunk_keys = ["_ci", "_cv"]
     if max_bucket_size is not None:
+        from pyspark import StorageLevel
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
         chunks, chunk_keys = _sub_block(chunks, "_id", chunk_keys,
                                         max_bucket_size)
     a = chunks.select(F.col("_id").alias("_ida"),
@@ -687,9 +695,16 @@ _INDEX_LAYOUT = {
 
 
 def _index_table(path: str, art: str) -> str:
-    """Deterministic catalog name for an index artifact at ``path``."""
+    """Deterministic catalog name for an index artifact at ``path``.
+    The path is normalized first (trailing slash / redundant separators)
+    so spelled-differently-but-identical locations resolve to the SAME
+    catalog entry — otherwise an append through the alternate spelling
+    would miss the bucketed table and write non-bucket-named files into
+    its external location, poisoning later catalog reads."""
     import hashlib
-    h = hashlib.md5(path.encode()).hexdigest()[:10]
+    import os as _os
+    norm = _os.path.normpath(path)
+    h = hashlib.md5(norm.encode()).hexdigest()[:10]
     return f"minhash_idx_{h}_{art}"
 
 
@@ -748,21 +763,38 @@ def build_minhash_index(df: DataFrame, path: str, *,
                          mode="overwrite")
 
 
+def _table_buckets(spark: SparkSession, name: str) -> int | None:
+    """Bucket count of a catalog table (None when not bucketed)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if r["col_name"].strip() == "Num Buckets":
+            try:
+                return int(r["data_type"].strip())
+            except ValueError:
+                return None
+    return None
+
+
 def append_minhash_index(df: DataFrame, path: str, *,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3, num_perm: int = 64,
-                         bands: int = 16, buckets: int = 32) -> None:
+                         bands: int = 16) -> None:
     """Fold a new batch into an existing index (append-only bucketed
     writes - the incremental update after the batch passed dedup).
-    Falls back to plain parquet appends when the catalog entry for the
-    index is gone (legacy layout / fresh in-memory catalog)."""
+    The bucket count is READ from the existing table, never passed: a
+    mismatched spec would fail Spark's bucketing-consistency check at
+    write time.  Falls back to plain parquet appends when the catalog
+    entry for the index is gone (legacy layout / fresh in-memory
+    catalog)."""
     banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
                                               n, num_perm, bands)
     spark = df.sparkSession
     for art_df, art in ((banded, "bands"), (sizes, "sizes"),
                         (shing, "shingles")):
-        if spark.catalog.tableExists(_index_table(path, art)):
-            _write_index_art(art_df, path, art, buckets=buckets,
+        name = _index_table(path, art)
+        nb = _table_buckets(spark, name) \
+            if spark.catalog.tableExists(name) else None
+        if nb:
+            _write_index_art(art_df, path, art, buckets=nb,
                              mode="append")
         else:
             art_df.write.mode("append").parquet(f"{path}/{art}")

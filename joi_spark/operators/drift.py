@@ -104,6 +104,16 @@ def _collected_fractions(df: DataFrame, column: str, epoch_col: str,
     # NULL-epoch rows are excluded, as the lazy form's `epoch !=
     # baseline` null-rejecting filter always did
     collected = [r for r in collected if r["epoch"] is not None]
+    # merge duplicate (epoch, bucket) cells: a corpus whose data
+    # genuinely contains the '__other__' category would otherwise
+    # carry two rows for that key (kept + pooled tail) and the
+    # downstream dict build would drop one row's mass
+    merged: dict = {}
+    for r in collected:
+        k = (r["epoch"], r["bucket"])
+        merged[k] = merged.get(k, 0) + r["cnt"]
+    collected = [{"epoch": e, "bucket": b, "cnt": c}
+                 for (e, b), c in merged.items()]
     totals_by_epoch: dict = {}
     for r in collected:
         totals_by_epoch[r["epoch"]] = \

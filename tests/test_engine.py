@@ -310,12 +310,15 @@ def test_annotate_positional_markers(spark):
 
 
 def test_annotate_without_order_by_is_bounded(spark):
-    """No order_by -> annotate still renders (markers without original
-    values) and never collects the full table."""
+    """No order_by -> annotate still renders markers + messages and
+    never collects the full table; without a fetched original row it
+    must NOT claim '-- missing --' (it cannot prove the cell was
+    null — a valid()-failure on a present value would be slandered)."""
     import joi_spark as joi
     df = spark.createDataFrame([(i, None) for i in range(1000)],
                                "id bigint, v string")
     s = joi.object({"v": joi.string().required()})
     res = joi.validate(df, s, prefs={"abort_early": False})
     out = res.annotate(rows=1)
-    assert '-- missing --' in out and '"v" is required' in out
+    assert '"v" [1,' in out and '"v" is required' in out
+    assert '-- missing --' not in out

@@ -21,7 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v, exact=True):
+def norm(v):
     import numpy as np
     import pandas as pd
     if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -32,10 +32,10 @@ def norm(v, exact=True):
     except (TypeError, ValueError):
         pass
     if isinstance(v, (np.floating, float)):
-        # exact: round-trip repr, the same strictness as the driver's
-        # value hash — a 1-ulp or dtype (int64 vs float64) cross-engine
+        # round-trip repr, the same strictness as the driver's value
+        # hash — a 1-ulp or dtype (int64 vs float64) cross-engine
         # difference is a FAIL here.
-        return repr(float(v)) if exact else f"{float(v):.9g}"
+        return repr(float(v))
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     return str(v)
