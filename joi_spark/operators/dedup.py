@@ -938,16 +938,11 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     join_keys = ["list_id"]
     if max_cluster_size is not None:
-        sizes = assigned.groupBy("list_id") \
-                        .agg(F.count(F.lit(1)).alias("_csz"))
-        nsub = F.greatest(
-            F.ceil(F.col("_csz") / F.lit(max_cluster_size)), F.lit(1))
-        assigned = (assigned.join(F.broadcast(sizes), "list_id")
-                            .withColumn("_sub",
-                                        F.pmod(F.xxhash64(F.col(id_col)),
-                                               nsub))
-                            .drop("_csz"))
-        join_keys = ["list_id", "_sub"]
+        # same valve as the LSH tiers — ONE implementation
+        # (:func:`_sub_block`): under-cap clusters take _sub = 0,
+        # over-cap ones salt by ceil(size/cap)
+        assigned, join_keys = _sub_block(assigned, id_col, join_keys,
+                                         max_cluster_size)
     a = assigned.select(F.col(id_col).alias("_ida"), *join_keys,
                         F.col(vec_col).alias("_va"),
                         F.col("_nrm").alias("_na"))
