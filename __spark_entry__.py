@@ -1884,8 +1884,13 @@ def oracle_sql() -> dict[str, str]:
                               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS s
                 FROM toks)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            -- candidate generation drops shingles hotter than the
+            -- max_shingle_freq=1000 default valve (sizes stay unpruned)
+            shp AS (SELECT sh.doc_id, sh.s FROM sh
+                    JOIN (SELECT s FROM sh GROUP BY s
+                          HAVING count(*) <= 1000) hot USING (s)),
             common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
-                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
                        GROUP BY 1, 2),
             j AS (SELECT ida, idb, c / (sa.n + sb.n - c) AS jac
                   FROM common
@@ -2270,9 +2275,14 @@ def oracle_sql() -> dict[str, str]:
                                    || tok[i+3])) AS s
                 FROM toks)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            -- same max_shingle_freq=1000 candidate valve as the
+            -- ngram_jaccard oracle (sizes stay unpruned)
+            shp AS (SELECT sh.doc_id, sh.s FROM sh
+                    JOIN (SELECT s FROM sh GROUP BY s
+                          HAVING count(*) <= 1000) hot USING (s)),
             common AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
                               count(*) AS c
-                       FROM sh a JOIN sh b
+                       FROM shp a JOIN shp b
                          ON a.s = b.s AND a.doc_id < b.doc_id
                        GROUP BY 1, 2),
             p AS (SELECT ida, idb

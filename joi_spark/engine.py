@@ -184,14 +184,34 @@ class ValidationResult:
         row is one JSON object deep from the engine's point of view;
         the full path stays visible in the message line.  Driver cost
         is ``rows`` collected rows + ``max_violations`` violation
-        records, independent of table size."""
+        records, independent of table size.
+
+        The ``max_violations`` budget is shared across the ``rows``
+        blocks; with ``rows > 1`` and ``order_by`` set, violations are
+        CAPPED PER ROW KEY at ``max_violations // rows`` (row_number
+        over the key) before the global limit, so one pathological row
+        cannot exhaust the budget and starve later keys.  With
+        ``order_by`` unset there is no row identity — every violation
+        shares one group and exactly one block renders regardless of
+        ``rows``."""
         import json
 
         red = "" if strip_color_codes else "\u001b[31m"
         bg = "" if strip_color_codes else "\u001b[41m"
         end = "" if strip_color_codes else "\u001b[0m"
 
-        viols = self.violations().limit(max_violations).collect()
+        vdf = self.violations()
+        if self.order_by and rows > 1:
+            # bound the per-key draw so key 1 cannot starve keys
+            # 2..rows; re-sort afterwards — the window shuffle does
+            # not preserve the (order_by, seq) presentation order
+            from pyspark.sql import Window
+            per_key = max(1, max_violations // rows)
+            w = Window.partitionBy(*self.order_by).orderBy("seq")
+            vdf = (vdf.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= per_key).drop("_rn")
+                      .orderBy(*self.order_by, "seq"))
+        viols = vdf.limit(max_violations).collect()
         keyed: dict = {}
         for v in viols:
             k = tuple(v[c] for c in self.order_by)

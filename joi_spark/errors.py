@@ -330,29 +330,31 @@ def _eval_formula(expr: str, ctx: dict[str, Any]):
 
 
 def _interpolate(template: str, ctx: dict[str, Any]) -> str:
-    # double-brace {{#x}} wraps arrays; single-brace {#x} does not
-    # (reference: lib/template.js:171-192 wrapped flag).  ONE combined
-    # pass over the pristine template — substituted values are never
-    # rescanned, so runtime strings (labels, valids, rename from/to)
-    # containing {...} cannot be evaluated as formulas (round-2 advice).
+    # The brace form controls ONLY html-escaping (reference:
+    # template.js:68 raw = part[0] !== '{'; :185 Hoek.escapeHtml on
+    # non-raw parts); array wrapping is governed by the errors.
+    # wrapArrays preference for EVERY dynamic part, raw or not —
+    # errors.js:76 passes prefs.errors as the options that
+    # template.js:331 wraps on.  ONE combined pass over the pristine
+    # template — substituted values are never rescanned, so runtime
+    # strings (labels, valids, rename from/to) containing {...}
+    # cannot be evaluated as formulas (round-2 advice).
     import re as _re
 
     def repl(m):
         wrap_pref = _ERROR_PREFS["wrap_arrays"]
         esc = _escape_html if _ERROR_PREFS["escape_html"] else (lambda s: s)
         if m.group(1) is not None:
-            # double-brace: wrapped, NON-raw — this is the form
-            # escapeHtml applies to (reference: template.js:167 raw =
-            # part[0] !== '{'; :185 Hoek.escapeHtml on non-raw parts)
+            # double-brace: NON-raw — the form escapeHtml applies to
             return esc(stringify(ctx.get(m.group(1), ""),
                                  wrap_arrays=wrap_pref))
         if m.group(2) is not None:          # single-brace: raw
             return stringify(ctx.get(m.group(2), ""),
-                             wrap_arrays=False)
+                             wrap_arrays=wrap_pref)
         try:
             # single-brace formula: raw, like any {x} part
             return stringify(_eval_formula(m.group(3), ctx),
-                             wrap_arrays=False)
+                             wrap_arrays=wrap_pref)
         except Exception:
             return m.group(0)   # non-evaluable braces pass through
     return _re.sub(

@@ -143,7 +143,7 @@ def _prune_hot_shingles(idx: DataFrame, max_shingle_freq: int) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_freq: int | None = None,
+                        max_shingle_freq: int | None = 1000,
                         persist_index: bool = True) -> DataFrame:
     """Exact Jaccard similarity over word-``n``-gram shingle sets for
     every pair sharing ≥1 shingle — ``(id_a, id_b, jaccard)``,
@@ -151,7 +151,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Inverted-index self-join: shuffle keyed on the shingle string, pair
     counts partial-aggregate.  Cost is Σ df(shingle)² — bounded by
-    ``max_shingle_freq`` pruning, NOT O(N²) in documents.
+    ``max_shingle_freq`` pruning, NOT O(N²) in documents.  The cap
+    DEFAULTS to a finite 1000 (matching the ``_sub_block`` valves of
+    the MinHash/SimHash tiers): one boilerplate stop-phrase shared by
+    millions of docs would otherwise make the default plan quadratic.
+    Recall trade: a pair whose ONLY shared shingles are hotter than
+    the cap is missed — such shingles carry no dedup signal (they
+    occur in >cap docs), so near-dup pairs at ``threshold`` ≥ 0.5
+    are unaffected in practice.  ``max_shingle_freq=None`` restores
+    the exhaustive enumeration for small corpora.
 
     The exploded index feeds three consumers (both self-join sides +
     the per-doc set sizes); ``persist_index`` caches it so shingling
@@ -774,6 +782,24 @@ def _table_buckets(spark: SparkSession, name: str) -> int | None:
     return None
 
 
+def _dir_has_bucketed_files(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists and contains Spark bucketed-write
+    output (file names carry the ``_NNNNN`` bucket-id suffix, e.g.
+    ``part-00000-<uuid>_00003.c000.snappy.parquet``; plain parquet
+    writes use ``-c000`` with no bucket id).  Hadoop FS listing so
+    the probe works on any supported filesystem, not just local."""
+    import re
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return any(
+        re.search(r"_\d{5}\.c\d+", st.getPath().getName())
+        for st in fs.listStatus(hpath))
+
+
 def append_minhash_index(df: DataFrame, path: str, *,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3, num_perm: int = 64,
@@ -782,9 +808,20 @@ def append_minhash_index(df: DataFrame, path: str, *,
     writes - the incremental update after the batch passed dedup).
     The bucket count is READ from the existing table, never passed: a
     mismatched spec would fail Spark's bucketing-consistency check at
-    write time.  Falls back to plain parquet appends when the catalog
-    entry for the index is gone (legacy layout / fresh in-memory
-    catalog)."""
+    write time.
+
+    When the catalog entry is gone the fallback depends on what is on
+    disk: a legacy PLAIN-parquet layout takes a plain append (rows
+    are identical, reads were already unbucketed), but a directory
+    holding BUCKETED files refuses loudly — appending non-bucket-named
+    files there would poison any session that still (or later) holds
+    the catalog entry: bucketed reads over mixed files throw
+    'Invalid bucket file' or silently break the pinned shuffle-free
+    plan.  Spark cannot recover the bucket COUNT from the files alone
+    (empty tail buckets leave no file), so the safe recoveries are
+    rebuilding via :func:`build_minhash_index` or recreating the
+    catalog entry (``CREATE TABLE ... USING parquet CLUSTERED BY``)
+    with the original bucket count."""
     banded, sizes, shing = _minhash_artifacts(df, id_col, text_col,
                                               n, num_perm, bands)
     spark = df.sparkSession
@@ -796,6 +833,15 @@ def append_minhash_index(df: DataFrame, path: str, *,
         if nb:
             _write_index_art(art_df, path, art, buckets=nb,
                              mode="append")
+        elif _dir_has_bucketed_files(spark, f"{path}/{art}"):
+            raise RuntimeError(
+                f"append_minhash_index: {path}/{art} holds bucketed "
+                f"files but the catalog entry '{name}' is missing; "
+                f"appending plain parquet here would poison bucketed "
+                f"reads.  Rebuild the index with build_minhash_index, "
+                f"or recreate the catalog entry (CREATE TABLE {name} "
+                f"USING parquet CLUSTERED BY (...) INTO <original> "
+                f"BUCKETS LOCATION '{path}/{art}') first.")
         else:
             art_df.write.mode("append").parquet(f"{path}/{art}")
 
@@ -967,8 +1013,42 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
 
 # --- duplicated-token-window screening (Lee et al. 2021-style) -------------
 
+def _window_index(df: DataFrame, id_col: str, text_col: str, n: int,
+                  persist: bool) -> DataFrame:
+    """Exploded ``n``-token-window index ``(id, _i, _w)`` — 1-based
+    window start position and md5 window key; one ``(id, null, null)``
+    row per doc shorter than ``n`` tokens (so consumers can count
+    zero-window docs).  Shared by :func:`window_dup_stats` /
+    :func:`duplicated_spans`, each of which feeds the index to TWO
+    consumers (the shared-window aggregate and the per-doc re-join);
+    ``persist`` materializes it once so the tokenize+md5+explode pass
+    — the dominant cost — runs once per call, not per consumer (the
+    same tradeoff as ``persist_index`` in the pair tiers)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    # fan out before the window-hash explode — a single-file input
+    # otherwise computes every md5 on one core (same rationale as
+    # _minhash_artifacts; at production scale the input arrives
+    # pre-split and this is a cheap doc-once shuffle)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = (df.repartition(par, id_col)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode_outer(wins).alias("_p", "_w"))
+             .select("id", (F.col("_p") + 1).alias("_i"), "_w"))
+    if persist:
+        from pyspark import StorageLevel
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    return pos
+
+
 def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", *, n: int = 8) -> DataFrame:
+                     text_col: str = "text", *, n: int = 8,
+                     persist_index: bool = True) -> DataFrame:
     """Per-document duplicated-substring exposure, the screening
     metric behind exact-substring dedup (Lee et al. 2021,
     arXiv:2107.06499): the fraction of a doc's ``n``-token windows
@@ -986,22 +1066,13 @@ def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
     millions of docs costs one aggregate row here, not a quadratic
     pair expansion — this is the screening complement to the
     pair-level tiers above.
+
+    The exploded window index feeds both the shared-window aggregate
+    and the per-doc re-join; ``persist_index`` caches it so the
+    tokenize+md5+explode pass runs once (see :func:`_window_index`).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    wins = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
-    ).otherwise(F.array().cast("array<string>"))
-    # fan out before the window-hash explode — a single-file input
-    # otherwise computes every md5 on one core (same rationale as
-    # _minhash_artifacts; at production scale the input arrives
-    # pre-split and this is a cheap doc-once shuffle)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    pos = df.repartition(par, id_col) \
-            .select(F.col(id_col).alias("id"),
-                    F.explode_outer(wins).alias("_w"))
+    pos = _window_index(df, id_col, text_col, n, persist_index) \
+        .select("id", "_w")
     docwins = pos.filter(F.col("_w").isNotNull()).distinct()
     shared = (docwins.groupBy("_w")
                      .agg(F.count(F.lit(1)).alias("_nd"))
@@ -1020,7 +1091,8 @@ def window_dup_stats(df: DataFrame, id_col: str = "doc_id",
 
 
 def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", *, n: int = 8) -> DataFrame:
+                     text_col: str = "text", *, n: int = 8,
+                     persist_index: bool = True) -> DataFrame:
     """WHERE the duplicated text lives: per document, the merged
     1-based token intervals covered by cross-document-duplicated
     ``n``-token windows — the spans Lee et al. 2021 actually cut,
@@ -1034,21 +1106,14 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     window, so the sort is bounded by document length, never
     corpus-wide.  Two windows merge when their token ranges overlap
     or touch (next start ≤ previous start + n).
+
+    Same shared-index materialization as :func:`window_dup_stats`
+    (``persist_index`` → one tokenize+md5+explode pass for the two
+    consumers, see :func:`_window_index`).
     """
     from pyspark.sql import Window
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    wins = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")))
-    ).otherwise(F.array().cast("array<string>"))
-    # fan out before the window-hash explode (see window_dup_stats)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    pos = (df.repartition(par, id_col)
-             .select(F.col(id_col).alias("id"),
-                     F.posexplode(wins).alias("_p", "_w"))
-             .select("id", (F.col("_p") + 1).alias("_i"), "_w"))
+    pos = _window_index(df, id_col, text_col, n, persist_index) \
+        .filter(F.col("_w").isNotNull())
     shared = (pos.select("id", "_w").distinct()
                  .groupBy("_w").agg(F.count(F.lit(1)).alias("_nd"))
                  .filter(F.col("_nd") >= 2).select("_w"))

@@ -127,7 +127,7 @@ def weighted_sample_topk(df: DataFrame, weight_col: str, k: int,
 def mix_to_target(df: DataFrame, strata_col: str,
                   targets: dict[str, float],
                   id_col: str = "doc_id", seed: str = "",
-                  strict: bool = False) -> DataFrame:
+                  strict: bool = True) -> DataFrame:
     """Resample a corpus to TARGET mixture proportions (domain /
     language reweighting, the data-mixing step of a training
     pipeline): the output's per-stratum composition approximates
@@ -141,20 +141,22 @@ def mix_to_target(df: DataFrame, strata_col: str,
     :func:`hash_sample`, so the draw is reproducible from (ids, seed,
     targets) alone.  Strata absent from ``targets`` are dropped (the
     targets define the output universe).  A TARGET stratum absent
-    from the corpus makes the request infeasible: its count enters
-    the reduction as 0, so N* = 0 and the result is EMPTY rather
-    than a mixture that silently misses the target; pass
-    ``strict=True`` to raise naming the missing strata instead (one
-    extra driver-side check of the tiny counts table).
+    from the corpus makes the request infeasible; ``strict=True``
+    (the DEFAULT — round-4 advice: a silently-empty batch output is
+    easy to miss downstream) raises naming the missing strata.
+    ``strict=False`` opts into the best-effort contract instead: N* =
+    0 and the result is EMPTY rather than a mixture that quietly
+    misses the target.
 
-    Entirely declarative — no driver-side count round-trip: the
-    per-stratum counts are one partial-aggregated groupBy (a scan
-    that reads ONLY the stratum column after pruning), the rate table
-    is a few rows broadcast back onto the corpus, and the final
-    filter is map-side.  Two scans of one column + one full scan at
-    100 TB; the hex threshold quantizes rates exactly like
-    :func:`rate_threshold` (floor to 32-bit hex) so an external SQL
-    oracle reproduces the selected id set bit-for-bit.
+    Plan: the per-stratum counts are one partial-aggregated groupBy
+    (a scan that reads ONLY the stratum column after pruning), the
+    rate table is a few rows broadcast back onto the corpus, and the
+    final filter is map-side — one column scan + one full scan at
+    100 TB either way (under strict the tiny counts table is
+    collected for the check and re-enters the plan as literals, so
+    nothing is scanned twice).  The hex threshold quantizes rates
+    exactly like :func:`rate_threshold` (floor to 32-bit hex) so an
+    external SQL oracle reproduces the selected id set bit-for-bit.
     """
     spark = df.sparkSession
     bad = {k: v for k, v in targets.items() if v <= 0}
@@ -173,12 +175,19 @@ def mix_to_target(df: DataFrame, strata_col: str,
                        strata_col, "left")
                  .withColumn("_n", F.coalesce("_n", F.lit(0.0))))
     if strict:
-        missing = [r[strata_col] for r in
-                   counts.filter(F.col("_n") == 0).collect()]
+        got = counts.collect()
+        missing = [r[strata_col] for r in got if r["_n"] == 0]
         if missing:
             raise ValueError(
                 f"mix_to_target: target strata absent from the corpus "
-                f"(no rows to sample): {sorted(missing)}")
+                f"(no rows to sample): {sorted(missing)}; pass "
+                f"strict=False for the best-effort (empty-result) "
+                f"contract")
+        # feed the checked counts back as LITERALS — the downstream
+        # rate arithmetic runs the identical Column expressions over
+        # the identical doubles, and the stratum column isn't scanned
+        # a second time for the check
+        counts = spark.createDataFrame(got, counts.schema)
     nstar = counts.agg(F.min(F.col("_n") / F.col("_tf")).alias("_nstar"))
     # rate = (target · N*) / count, in THIS multiply-then-divide order
     # (both engines run the identical IEEE sequence)

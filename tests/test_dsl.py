@@ -199,17 +199,20 @@ def test_errors_prefs_escape_html_and_wrap_arrays(spark):
                             order_by=["id"]).violations() \
                   .collect()[0]["message"]
     # double-brace (non-raw) substitutions escape; single-brace and
-    # {[.]} stay raw (reference: template.js:167,185)
-    assert msg(None) == "bad a<b raw [a<b] val <bad&val>"
+    # {[.]} stay raw (reference: template.js:68,185).  Array WRAPPING
+    # is orthogonal to rawness: errors.wrapArrays applies to every
+    # dynamic part (errors.js:76 passes prefs.errors into render;
+    # template.js:331 wraps), so {#valids} wraps too by default.
+    assert msg(None) == "bad [a<b] raw [a<b] val <bad&val>"
     assert msg({"errors": {"escape_html": True}}) == \
-        "bad a<b raw [a&lt;b] val <bad&val>"
+        "bad [a<b] raw [a&lt;b] val <bad&val>"
     s2 = joi.object({"v": joi.string().valid("x", "y").messages(
-        {"any.only": "not in {{#valids}}"})})
+        {"any.only": "not in {{#valids}} or {#valids}"})})
     got = joi.validate(df, s2,
                        prefs={"errors": {"wrap_arrays": False}},
                        order_by=["id"]).violations() \
              .collect()[0]["message"]
-    assert got == "not in x, y"
+    assert got == "not in x, y or x, y"
 
 
 def test_errors_prefs_unknown_key_raises(spark):

@@ -322,3 +322,25 @@ def test_annotate_without_order_by_is_bounded(spark):
     out = res.annotate(rows=1)
     assert '"v" [1,' in out and '"v" is required' in out
     assert '-- missing --' not in out
+
+
+def test_annotate_multi_row_budget_not_starved(spark):
+    """rows > 1: one pathological row holding many violations must not
+    exhaust the shared max_violations budget — the per-key row_number
+    cap (round-4 advice) guarantees later keys still render."""
+    import joi_spark as joi
+    # row 1 fails twice (role + text), row 2 once (text)
+    df = spark.createDataFrame(
+        [(1, "bad", None), (2, "user", None)],
+        "id bigint, role string, text string")
+    s = joi.object({
+        "role": joi.string().valid("user", "assistant"),
+        "text": joi.string().required(),
+    })
+    res = joi.validate(df, s, order_by=["id"],
+                       prefs={"abort_early": False})
+    # budget of 2 across 2 rows → 1 violation per key; without the
+    # per-key cap both slots would go to row 1
+    out = res.annotate(rows=2, max_violations=2)
+    assert out.count("{") == 2
+    assert '"id": 1' in out and '"id": 2' in out

@@ -377,17 +377,20 @@ def test_tfidf_topk_terms_ranks_distinctive_tokens(spark):
 
 
 def test_mix_to_target_infeasible_stratum_empty_not_silent(spark):
-    """A target stratum with zero corpus rows makes the request
-    infeasible: N* = 0 → EMPTY result (round-3 advice), never a
-    mixture that quietly misses the target."""
+    """With strict=False (opt-in best-effort), a target stratum with
+    zero corpus rows makes the request infeasible: N* = 0 → EMPTY
+    result (round-3 advice), never a mixture that quietly misses the
+    target."""
     rows = [(i, "A") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id bigint, src string")
-    got = SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5})
+    got = SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5},
+                           strict=False)
     assert got.count() == 0
 
 
-def test_mix_to_target_strict_raises_on_missing_stratum(spark):
+def test_mix_to_target_strict_default_raises_on_missing_stratum(spark):
+    """strict=True is the DEFAULT (round-4 advice: silent-empty batch
+    output is easy to miss downstream)."""
     df = spark.createDataFrame([(0, "A")], "doc_id bigint, src string")
     with pytest.raises(ValueError, match="GHOST"):
-        SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5},
-                         strict=True)
+        SP.mix_to_target(df, "src", {"A": 0.5, "GHOST": 0.5})

