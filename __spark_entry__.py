@@ -1470,67 +1470,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness gate checked only the first
-    # 50 entries in round 3.  Front-load (a) the one round-3 red row
-    # (corpus_report, now HUGEINT-cast-fixed), (b) the 20 entries the
-    # round-3 gate never reached, then (c) the §2 operator-family
-    # queries.  The tail 23 are LLM-pipeline queries that already have
-    # driver-green rows in CORRECTNESS_r03.json.
+    # Order matters: the driver's correctness gate checks the FIRST 50
+    # entries.  Gate coverage ROTATES each round (round-4 advice: don't
+    # cite pre-change verdicts as current verification): round 5
+    # front-loads (a) the 20 entries that sat past the round-4 gate
+    # window, then (b) the queries whose behavior or oracle changed
+    # this round (ngram_jaccard/dedup_clusters gained the
+    # max_shingle_freq=1000 default valve — ngram_jaccard is already
+    # in (a); window_dedup/dup_spans/cut_spans now share a persisted
+    # window index — also in (a)), then (c) the transcript-validation
+    # and stats families.  The tail 20 are unchanged since their green
+    # CORRECTNESS_r04 rows and are re-verified every round by
+    # tests/test_coverage_tail.py::test_rotation_tail_oracle_smoke.
     return {
-        # (a) round-3 red, fixed this round
-        "corpus_report": q_corpus_report,
-        # (b) round-3 driver-unreached
-        "chunk_documents": q_chunk_documents,
-        "contamination": q_contamination,
-        "repetition_signals": q_repetition_signals,
-        "quality_filter": q_quality_filter,
-        "dedup_corpus": q_dedup_corpus,
-        "string_formats": q_string_formats,
-        "generic_flags": q_generic_flags,
-        "object_tail": q_object_tail,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "weighted_topk": q_weighted_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "js_drift": q_js_drift,
-        "vocab_topk": q_vocab_topk,
-        "ref_bloom": q_ref_bloom,
-        "hll_manifest": q_hll_manifest,
-        "quantile_drift": q_quantile_drift,
-        "stats_anomaly": q_stats_anomaly,
-        "incremental_dedup": q_incremental_dedup,
-        "ivf_index": q_ivf_index,
-        # (c) §2 operator families
-        "enum_required": q_enum_required,
-        "string_rules": q_string_rules,
-        "pattern_message": q_pattern_message,
-        "number_rules": q_number_rules,
-        "date_rules": q_date_rules,
-        "when_conditional": q_when_conditional,
-        "converted_output": q_converted_output,
-        "abort_early_first": q_abort_early_first,
-        "ds_unique": q_ds_unique,
-        "ds_sparse": q_ds_sparse,
-        "ds_heads": q_ds_heads,
-        "ds_referential": q_ds_referential,
-        "ds_monotone": q_ds_monotone,
-        "ds_group_sizes": q_ds_group_sizes,
-        "stats_exact": q_stats_exact,
-        "histogram": q_histogram,
-        "psi_drift": q_psi_drift,
-        "ks_drift": q_ks_drift,
-        "bool_coercion": q_bool_coercion,
-        "date_unix": q_date_unix,
-        "array_items": q_array_items,
-        "object_json": q_object_json,
-        "alternatives_or": q_alternatives_or,
-        "custom_rule": q_custom_rule,
-        "deps_without": q_deps_without,
-        "rename_convert": q_rename_convert,
-        # (d) driver-green in round 3
-        "text_metrics": q_text_metrics,
-        "lang_id": q_lang_id,
-        "fingerprint_dups": q_fingerprint_dups,
+        # (a) past the round-4 gate window — gate these first
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1551,6 +1504,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_split": q_hash_split,
         "session_stats": q_session_stats,
+        # (b) oracle/behavior changed this round
+        "dedup_clusters": q_dedup_clusters,
+        # (c) corpus + stats + index families
+        "corpus_report": q_corpus_report,
+        "chunk_documents": q_chunk_documents,
+        "contamination": q_contamination,
+        "repetition_signals": q_repetition_signals,
+        "quality_filter": q_quality_filter,
+        "dedup_corpus": q_dedup_corpus,
+        "string_formats": q_string_formats,
+        "generic_flags": q_generic_flags,
+        "object_tail": q_object_tail,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "weighted_topk": q_weighted_topk,
+        "js_drift": q_js_drift,
+        "vocab_topk": q_vocab_topk,
+        "ref_bloom": q_ref_bloom,
+        "hll_manifest": q_hll_manifest,
+        "quantile_drift": q_quantile_drift,
+        "stats_anomaly": q_stats_anomaly,
+        "incremental_dedup": q_incremental_dedup,
+        "ivf_index": q_ivf_index,
+        "enum_required": q_enum_required,
+        "string_rules": q_string_rules,
+        "pattern_message": q_pattern_message,
+        "number_rules": q_number_rules,
+        "date_rules": q_date_rules,
+        "when_conditional": q_when_conditional,
+        "converted_output": q_converted_output,
+        "abort_early_first": q_abort_early_first,
+        "text_metrics": q_text_metrics,
+        # ---- gate boundary: entries below are position 51+ ----
+        "lang_id": q_lang_id,
+        "fingerprint_dups": q_fingerprint_dups,
+        "ds_unique": q_ds_unique,
+        "ds_sparse": q_ds_sparse,
+        "ds_heads": q_ds_heads,
+        "ds_referential": q_ds_referential,
+        "ds_monotone": q_ds_monotone,
+        "ds_group_sizes": q_ds_group_sizes,
+        "stats_exact": q_stats_exact,
+        "histogram": q_histogram,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "bool_coercion": q_bool_coercion,
+        "date_unix": q_date_unix,
+        "array_items": q_array_items,
+        "object_json": q_object_json,
+        "alternatives_or": q_alternatives_or,
+        "custom_rule": q_custom_rule,
+        "deps_without": q_deps_without,
+        "rename_convert": q_rename_convert,
     }
 
 

@@ -2,7 +2,10 @@
 
 Two workloads:
 1. the ``__spark_entry__.queries()`` suite at ``$SPARK_GRAFT_SF_DIR``
-   (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``;
+   (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` —
+   per-query times are WARM (second of two runs, cache cleared
+   between) so they measure the steady-state plan independent of
+   suite order; first-run times ship as ``queries_cold``;
 2. the headline metric from BASELINE.json — validated turns/sec over a
    deterministic synthetic transcript table (full schema + dataset-rule
    bundle, violations + verdicts materialized).
@@ -165,13 +168,28 @@ def run_query_suite(spark, sf_dir: str) -> dict:
               "k").count()
     warm.withColumn("r", F.row_number().over(
         _W.partitionBy("k").orderBy("id"))).count()
-    out = {}
+    # Each query runs TWICE and the SECOND time is reported (round-4
+    # verdict item 1): the first run absorbs that query's one-time
+    # shape costs (codegen for its specific operator pipeline, first
+    # touch of its parquet footers), so the reported number measures
+    # the steady-state plan and is INDEPENDENT of dict position — a
+    # reordering no-op must not move any per-query time.  The cache is
+    # cleared between the runs: several queries persist() shared
+    # intermediates, and Spark's cache manager would silently serve the
+    # first run's materialization to the second (measuring a cache
+    # read, not the operator).  Cold (first-run) times ship alongside
+    # for transparency.
+    out, cold = {}, {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()
+        fn(spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
-    return out
+        spark.catalog.clearCache()
+    return out, cold
 
 
 def bench_once(cpus: str, sf_dir: str, *, with_queries: bool = True,
@@ -188,12 +206,14 @@ def bench_once(cpus: str, sf_dir: str, *, with_queries: bool = True,
         "spark.sql.files.openCostInBytes": str(256 * 1024),
     })
     try:
-        queries = run_query_suite(spark, sf_dir) if with_queries else {}
+        queries, queries_cold = (run_query_suite(spark, sf_dir)
+                                 if with_queries else ({}, {}))
         transcript = run_transcript_validation(spark, n_turns,
                                                with_dataset=with_dataset)
     finally:
         spark.stop()
-    return {"queries": queries, "transcript": transcript}
+    return {"queries": queries, "queries_cold": queries_cold,
+            "transcript": transcript}
 
 
 def main() -> None:
@@ -306,6 +326,21 @@ def main() -> None:
             "steal_pct_high": _median([r["steal_pct"] for r in hi_runs]),
             "turns": lo_runs[0]["turns"],
         }
+        # steal-FILTERED median alongside the raw one (round-4 verdict
+        # item 9): legs where the host stole more than JOI_STEAL_MAX%
+        # of requested CPU measured the neighbors, not the engine.
+        # Reported only when at least one leg per level survives; the
+        # raw all-legs number stays the headline.
+        steal_max = float(os.environ.get("JOI_STEAL_MAX", "3.0"))
+        lo_q = [r for r in lo_runs if r["steal_pct"] <= steal_max]
+        hi_q = [r for r in hi_runs if r["steal_pct"] <= steal_max]
+        if lo_q and hi_q:
+            tps_lo_f = _median([r["turns_per_sec"] for r in lo_q])
+            tps_hi_f = _median([r["turns_per_sec"] for r in hi_q])
+            out["value_steal_filtered"] = round(
+                (tps_hi_f / tps_lo_f) / (int(hi) / int(lo)), 3)
+            out["steal_filter_pct"] = steal_max
+            out["legs_kept"] = [len(lo_q), len(hi_q)]
         if reps > 1:
             out["reps"] = reps
             out["turns_per_sec_low_all"] = [r["turns_per_sec"] for r in lo_runs]
@@ -323,6 +358,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": res["queries"],
+        "queries_cold": res["queries_cold"],
         "sf": sf,
         "validated_turns_per_sec": res["transcript"]["turns_per_sec"],
         "transcript": res["transcript"],

@@ -50,10 +50,10 @@ def frame_rows(df):
                   for row in df[cols].itertuples(index=False, name=None))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark()
+def check_queries(spark, sf_dir: str, only=None) -> int:
+    """Run the gate comparison for ``only`` (or all) queries; prints a
+    line per query, returns the failure count.  Importable so pytest
+    can smoke the rotation tail with the shared session."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -103,6 +103,14 @@ def main() -> int:
             oonly = [r for r in oset if r not in set(sset)][:3]
             print(f"  spark-only: {sonly}")
             print(f"  duck-only:  {oonly}")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    failures = check_queries(spark, sf_dir, only)
     # smoke entry()
     if not only:
         e = entry_mod.entry(spark)
