@@ -237,6 +237,16 @@ class ValidationResult:
         # without original row values instead
 
         def cell(v):
+            # nested struct cells arrive as Row (a tuple subclass) —
+            # render as the JSON OBJECT the reference's annotate shows
+            # for nested values (lib/errors.js:239 JSON.stringify of
+            # the object graph), not a bare positional list
+            from pyspark.sql import Row as _Row
+            if isinstance(v, _Row):
+                v = v.asDict(recursive=True)
+            elif isinstance(v, list):
+                v = [x.asDict(recursive=True) if isinstance(x, _Row)
+                     else x for x in v]
             try:
                 return json.dumps(v, default=str)
             except TypeError:

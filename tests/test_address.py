@@ -140,3 +140,100 @@ def test_email_unknown_option_raises(spark):  # noqa: F811
     with pytest.raises(Exception, match="unsupported email options"):
         joi.validate(df, joi.object({
             "e": joi.string().email(bogus=True)}))
+
+
+# --- round-5 parity fuzz goldens (round-4 verdict item 7) ----------------
+# Boundary vectors derived from the RFC rules both engines encode
+# (RFC 5321 64-octet local / 254-char path, RFC 1035 63-char LDH
+# labels) plus the reference suite's quoted/IDN/long-label families
+# (test/types/string.js:870-935; @hapi/address dot-atom grammar).
+
+EDGE_VECTORS = [
+    # local-part length boundary (64 octets OK, 65 not)
+    ("a" * 64 + "@example.com", True),
+    ("a" * 65 + "@example.com", False),
+    # label length boundary (63 OK, 64 not)
+    ("joe@" + "a" * 63 + ".com", True),
+    ("joe@" + "a" * 64 + ".com", False),
+    # dot-atom local rules
+    (".joe@example.com", False),          # leading dot
+    ("joe.@example.com", False),          # trailing dot
+    ("jo..e@example.com", False),         # empty atom
+    ("jo.e.x@example.com", True),         # dotted atoms OK
+    ("!#$%&'*+-/=?^_`{|}~@example.com", True),   # full atext set
+    ("jo e@example.com", False),          # space
+    ("jo\"e@example.com", False),         # stray quote
+    ("jo(e)@example.com", False),         # comment syntax unsupported
+    ("jo,e@example.com", False),          # comma
+    # @ structure
+    ("joe@@example.com", False),
+    ("a@b@example.com", False),
+    ("joe", False),
+    ("joe@", False),
+    ("@", False),
+    # domain shape
+    ("joe@.com", False),                  # empty first label
+    ("joe@example..com", False),          # empty middle label
+    ("joe@example.com.", False),          # trailing dot -> empty label
+    ("joe@-example.com", False),          # leading hyphen label
+    ("joe@example-.com", False),          # trailing hyphen label
+    ("joe@exa_mple.com", False),          # underscore not LDH
+    ("joe@example.123", False),           # numeric TLD
+    ("joe@example.3com", False),          # digit-initial TLD
+    ("joe@example.c0m", True),            # digit inside TLD OK
+    ("JOE@EXAMPLE.COM", True),            # case-insensitive
+    ("joe@x.example-dash.com", True),     # interior hyphen OK
+    # IDN: raw unicode and its punycoded ASCII form both pass
+    ("joe@bücher.example", True),
+    ("joe@xn--bcher-kva.example", True),
+]
+
+
+@pytest.mark.parametrize("email,expect", EDGE_VECTORS)
+def test_edge_email_vectors(email, expect):
+    assert address.email_valid(email) is expect
+
+
+def test_total_length_boundary():
+    """RFC 5321 path limit: 254 chars valid, 255 invalid — built so
+    every label stays LDH-legal at both lengths."""
+    local = "a" * 64
+    def addr(total):
+        # domain = full 63-char labels + a filler label + ".com"
+        rem = total - len(local) - 1       # domain length target
+        labels = []
+        while rem > 63 + 1 + 4:            # keep filler ≤ 63 + ".com"
+            labels.append("b" * 63)
+            rem -= 64                      # label + its joining dot
+        labels.append("c" * (rem - 4))     # rest minus ".com"
+        a = local + "@" + ".".join(labels) + ".com"
+        assert len(a) == total
+        return a
+    assert address.email_valid(addr(254)) is True
+    assert address.email_valid(addr(255)) is False
+
+
+def test_min_domain_segments_one_allows_bare_tld():
+    assert address.email_valid("joe@com", min_domain_segments=1)
+    assert not address.email_valid("joe@com")   # default 2
+
+
+def test_engine_multiple_separator_vectors(spark):
+    """The reference's 'validates email with multiple (separator)'
+    vectors (test/types/string.js:997-1014) through the engine UDF."""
+    rows = [
+        (1, "joe@example.com", True),
+        (2, "joe@example.com; joe@example.org; joe@example.com", True),
+        (3, "joe@example.com ; joe@example.org ;joe@example.com", True),
+        (4, "joe@example.com  ; joe@example.org ;  joe@example.com", True),
+        (5, "joe@example.com; joe@example; joe@example.org; joe@com",
+         False),
+    ]
+    df = spark.createDataFrame([(i, e) for i, e, _ in rows],
+                               "id bigint, e string")
+    schema = joi.object({"e": joi.string().email(multiple=True,
+                                                 separator=";")})
+    res = joi.validate(df, schema, order_by=["id"],
+                       prefs={"abort_early": False})
+    bad = [r["id"] for r in res.violations().collect()]
+    assert bad == [i for i, _, ok in rows if not ok]

@@ -344,3 +344,36 @@ def test_annotate_multi_row_budget_not_starved(spark):
     out = res.annotate(rows=2, max_violations=2)
     assert out.count("{") == 2
     assert '"id": 1' in out and '"id": 2' in out
+
+
+def test_annotate_nested_struct_and_array_markers(spark):
+    """Nested-path and array-column annotation (round-4 verdict item
+    8, vs lib/errors.js:227-300): nested failures mark the TOP-level
+    column with every contributing position, the struct renders as a
+    JSON object (not a positional list), the full dotted path stays
+    in the message lines, and an all-null struct with a required
+    nested field renders -- missing --."""
+    import joi_spark as joi
+    df = spark.createDataFrame(
+        [(1, ("x", None), ["ok", "", "fine"]),
+         (2, None, ["a"])],
+        "id bigint, meta struct<role:string, note:string>, "
+        "tags array<string>")
+    s = joi.object({
+        "meta": joi.object({"role": joi.string().valid("user"),
+                            "note": joi.string().required()})
+                   .required(),
+        "tags": joi.array().items(joi.string().min(1)),
+    })
+    res = joi.validate(df, s, order_by=["id"],
+                       prefs={"abort_early": False})
+    out = res.annotate(rows=1)
+    # struct rendered as a JSON object; both nested failures mark meta
+    assert '"meta" [1, 2]: {"role": "x", "note": null}' in out
+    assert '"tags" [3]: ["ok", "", "fine"]' in out
+    assert '[1] "meta.role" must be one of [user]' in out
+    assert '[2] "meta.note" is required' in out
+    assert '[3] "tags" does not match any of the allowed types' in out
+    # row 2: the whole struct is null -> -- missing -- on the column
+    out2 = res.annotate(rows=2)
+    assert '"meta" [1]: -- missing --' in out2
