@@ -590,7 +590,11 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     data hurts.
 
     The per-round convergence probe is a driver-side count — inherent
-    to any fixpoint loop and proportional to rounds, not rows."""
+    to any fixpoint loop and proportional to rounds, not rows.  The
+    probe costs NO extra join: each round carries the pre-step label
+    alongside the new one, so change detection is a map-side filter
+    over the already-checkpointed round output (round-5: this removed
+    one shuffle join per round)."""
     edges = (pairs.select(F.col(id_a).alias("src"),
                           F.col(id_b).alias("dst"))
                   .union(pairs.select(F.col(id_b).alias("src"),
@@ -605,6 +609,7 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                      .agg(F.min("cluster_id").alias("_nbr")))
         stepped = (labels.join(prop, "id", "left")
                          .select("id",
+                                 F.col("cluster_id").alias("_old"),
                                  F.least("cluster_id",
                                          F.coalesce("_nbr", "cluster_id"))
                                   .alias("cluster_id")))
@@ -613,16 +618,14 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
         parents = stepped.select(F.col("id").alias("cluster_id"),
                                  F.col("cluster_id").alias("_pp"))
         nxt = (stepped.join(parents, "cluster_id", "left")
-                      .select("id",
+                      .select("id", "_old",
                               F.least("cluster_id",
                                       F.coalesce("_pp", "cluster_id"))
                                .alias("cluster_id"))
                       .localCheckpoint(eager=False))
-        changed = (nxt.join(labels.withColumnRenamed("cluster_id", "_old"),
-                            "id")
-                      .filter(F.col("cluster_id") != F.col("_old"))
+        changed = (nxt.filter(F.col("cluster_id") != F.col("_old"))
                       .limit(1).count())
-        labels = nxt
+        labels = nxt.select("id", "cluster_id")
         if changed == 0:
             break
     return labels.select("id", "cluster_id")
