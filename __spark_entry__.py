@@ -1826,7 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "alternatives_or": """
             SELECT event_id,
-                   'alternatives.any' AS code,
+                   'alternatives.match' AS code,
                    '"event_type" does not match any of the allowed types' AS message,
                    'error' AS severity
             FROM events

@@ -525,14 +525,41 @@ def value_predicate(schema: Schema, ctx: _Ctx) -> Callable[[Column], Column]:
                 for p, _, _ in _number_rule(rule, c, ctx):
                     parts.append(p)
         elif schema.kind == "date":
-            c = col.cast("timestamp")
+            # base check mirrors _coerce's date block: a branch value
+            # that parses under no accepted format is a date.base
+            # failure in the reference ($_match recurses into the full
+            # validate), so a bare date() branch must DISCRIMINATE
+            # here, not pass vacuously (round-5 parity fix)
+            s = col.cast("string")
+            fmt = schema._flags.get("format")
+            if fmt == "unix":
+                c = F.timestamp_seconds(s.try_cast("long"))
+            elif fmt == "javascript":
+                c = F.timestamp_millis(s.try_cast("long"))
+            elif fmt == "iso":
+                c = F.when(s.rlike(RX.ISO_DATE), s.try_cast("timestamp"))
+            else:
+                c = F.coalesce(s.try_cast("timestamp"),
+                               F.timestamp_millis(s.try_cast("long")))
+            parts.append(col.isNull() | c.isNotNull())
             for rule in schema._rules:
                 if rule.name == "custom":
                     continue
                 for p, _, _ in _date_rule(rule, c, ctx):
                     parts.append(p)
         elif schema.kind == "boolean":
-            pass
+            # mirror _coerce's boolean block (true/false + declared
+            # truthy/falsy, insensitive by default): anything else is
+            # a boolean.base failure in the reference
+            truthy = [str(v) for v in (schema._terms.get("truthy") or [])]
+            falsy = [str(v) for v in (schema._terms.get("falsy") or [])]
+            insensitive = schema._flags.get("insensitive", True)
+            s = col.cast("string")
+            probe = F.lower(s) if insensitive else s
+            extra = truthy + falsy
+            vals = ["true", "false"] + \
+                ([v.lower() for v in extra] if insensitive else extra)
+            parts.append(col.isNull() | probe.isin(*vals))
         out = F.lit(True)
         for p in parts:
             out = out & p
@@ -1057,11 +1084,35 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
                  guard=rule_guard)
 
     # alternatives: first-match-wins degenerates to OR for pass/fail
-    # (reference: lib/types/alternatives.js:33-91)
+    # (reference: lib/types/alternatives.js:33-91).  Error taxonomy
+    # follows the reference's no-match classifier (:63-90): when every
+    # branch is a BARE base type a failing value can only have
+    # accumulated `<type>.base` errors, which the reference collapses
+    # to 'alternatives.types' with the type list; any branch carrying
+    # rules/valids can produce non-base errors, and multi-branch
+    # mixed failures render the 'alternatives.match' catch-all (same
+    # template text).  Both are static properties of the SCHEMA, so
+    # the per-row classification is exact here, not approximated.
     if schema.type == "alternatives" and schema._terms.get("matches"):
-        preds = [value_predicate(m, local)(conv)
-                 for m in schema._terms["matches"]]
-        emit(_or_all(preds), "alternatives.any", {}, guard=rule_guard)
+        matches = schema._terms["matches"]
+        preds = [value_predicate(m, local)(conv) for m in matches]
+
+        def _bare_base(m):
+            # kinds whose only per-row branch failure is `<type>.base`
+            # — a bare string() fails as string.empty (non-base), so
+            # its presence routes to the 'match' catch-all instead
+            return (isinstance(m, Schema)
+                    and m.kind in ("number", "boolean", "date")
+                    and not m._rules and not m._valids
+                    and not m._invalids and not m._flags
+                    and not m._terms)
+
+        if len(matches) >= 2 and all(_bare_base(m) for m in matches):
+            emit(_or_all(preds), "alternatives.types",
+                 {"types": [m.type for m in matches]}, guard=rule_guard)
+        else:
+            emit(_or_all(preds), "alternatives.match", {},
+                 guard=rule_guard)
 
     # external hooks: Arrow-batched post-validation
     # (reference: lib/base.js:152-157, lib/validator.js:51-86;

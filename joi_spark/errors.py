@@ -160,11 +160,11 @@ BINARY_MESSAGES = {
     "binary.min": '"{{#label}}" must be at least {{#limit}} bytes',
 }
 
-# reference: lib/types/alternatives.js:280-287
+# reference: lib/types/alternatives.js:309-312
 ALTERNATIVES_MESSAGES = {
-    "alternatives.any": '"{{#label}}" does not match any of the allowed types',
     "alternatives.match": '"{{#label}}" does not match any of the allowed types',
     "alternatives.base": '"{{#label}}" does not match any of the allowed types',
+    "alternatives.types": '"{{#label}}" must be one of {{#types}}',
 }
 
 # plugin / external surface (engine codes; reference analogues:

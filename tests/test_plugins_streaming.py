@@ -26,7 +26,7 @@ def test_alternatives_key(spark):
                               joi.string().pattern("^[0-9]+$")),
     })
     rows = _viol(df, schema, ["id"])
-    assert [(r["id"], r["code"]) for r in rows] == [(3, "alternatives.any")]
+    assert [(r["id"], r["code"]) for r in rows] == [(3, "alternatives.match")]
     assert rows[0]["message"] == '"v" does not match any of the allowed types'
 
 

@@ -832,3 +832,43 @@ def test_email_dot_atom_rules(spark):
         ("long.fail", long_addr, [("string.email",
             '"v" must be a valid email')]),
     ])
+
+
+def test_alternatives_error_taxonomy(spark):
+    """Reference no-match classifier (lib/types/alternatives.js:63-90):
+    all-bare-base branches collapse to 'alternatives.types' with the
+    type list ('"label" must be one of {{#types}}', wrapped); branches
+    carrying rules render the 'alternatives.match' catch-all."""
+    df = spark.createDataFrame(
+        [(1, "42"), (2, "true"), (3, "2024-01-02"), (4, "xyz")],
+        "id bigint, v string")
+    s = joi.object({"v": joi.alternatives(joi.number(), joi.boolean())})
+    res = joi.validate(df, s, order_by=["id"],
+                       prefs={"abort_early": False})
+    got = {r["id"]: (r["code"], r["message"])
+           for r in res.violations().collect()}
+    # 42 -> number, true -> boolean; date string and xyz match neither
+    assert set(got) == {3, 4}
+    assert got[4] == ("alternatives.types",
+                      '"v" must be one of [number, boolean]')
+    # a rule-carrying branch routes to the match catch-all
+    s2 = joi.object({"v": joi.alternatives(joi.number().min(5),
+                                           joi.boolean())})
+    res2 = joi.validate(df, s2, order_by=["id"],
+                        prefs={"abort_early": False})
+    got2 = {r["id"]: r["code"] for r in res2.violations().collect()}
+    assert got2[4] == "alternatives.match"
+
+
+def test_alternatives_bare_date_and_boolean_discriminate(spark):
+    """value_predicate parity (round-5): bare date()/boolean() branches
+    must reject non-parsing values like the reference's recursive
+    $_match — not pass vacuously."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-02"), (2, "1700000000"), (3, "not a date")],
+        "id bigint, v string")
+    s = joi.object({"v": joi.alternatives(joi.date(), joi.boolean())})
+    res = joi.validate(df, s, order_by=["id"],
+                       prefs={"abort_early": False})
+    bad = [r["id"] for r in res.violations().collect()]
+    assert bad == [3]
