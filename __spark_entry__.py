@@ -414,6 +414,20 @@ def q_alternatives_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("event_id", *_VCOLS)
 
 
+def q_alternatives_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alternatives over bare base types — the reference's no-match
+    classifier collapses all-base failures to 'alternatives.types'
+    with the wrapped type list (lib/types/alternatives.js:63-90,
+    309-312)."""
+    ev = _t(spark, sf_dir, "events")
+    schema = joi.object({
+        "event_type": joi.alternatives(joi.number(), joi.boolean()),
+    })
+    res = joi.validate(ev, schema, prefs={"abort_early": False},
+                       order_by=["event_id"])
+    return res.violations().select("event_id", *_VCOLS)
+
+
 def q_custom_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extend()/custom() plugin rule compiled to a Column predicate
     (reference: lib/extend.js:58-104)."""
@@ -1554,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_items": q_array_items,
         "object_json": q_object_json,
         "alternatives_or": q_alternatives_or,
+        "alternatives_types": q_alternatives_types,
         "custom_rule": q_custom_rule,
         "deps_without": q_deps_without,
         "rename_convert": q_rename_convert,
@@ -1833,6 +1848,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IS NOT NULL
               AND event_type NOT IN ('view', 'click')
               AND NOT regexp_matches(event_type, '^sign')
+        """,
+        "alternatives_types": """
+            SELECT event_id,
+                   'alternatives.types' AS code,
+                   '"event_type" must be one of [number, boolean]'
+                       AS message,
+                   'error' AS severity
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND try_cast(event_type AS DOUBLE) IS NULL
+              AND lower(event_type) NOT IN ('true', 'false')
         """,
         "custom_rule": """
             SELECT l_orderkey, l_linenumber,

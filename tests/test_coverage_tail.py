@@ -508,6 +508,6 @@ def test_rotation_tail_oracle_smoke(spark):
     import __spark_entry__ as entry_mod
     from check_oracle import check_queries
     tail = list(entry_mod.queries())[50:]
-    assert len(tail) == 20
+    assert len(tail) == len(entry_mod.queries()) - 50 >= 20
     failures = check_queries(spark, "/root/testdata/sf0.001", set(tail))
     assert failures == 0
