@@ -1093,6 +1093,12 @@ def compile_column(schema: Schema, name: str, dtype: T.DataType, ctx: _Ctx,
     # mixed failures render the 'alternatives.match' catch-all (same
     # template text).  Both are static properties of the SCHEMA, so
     # the per-row classification is exact here, not approximated.
+    if schema.type == "alternatives" and not schema._terms.get("matches"):
+        # no branches -> nothing can match: any PRESENT value fails
+        # with 'alternatives.base' (reference :34-63 — the loop body
+        # never runs, errors stay empty, base fires); null/undefined
+        # still passes (presence guard)
+        emit(F.lit(False), "alternatives.base", {}, guard=rule_guard)
     if schema.type == "alternatives" and schema._terms.get("matches"):
         matches = schema._terms["matches"]
         preds = [value_predicate(m, local)(conv) for m in matches]

@@ -872,3 +872,14 @@ def test_alternatives_bare_date_and_boolean_discriminate(spark):
                        prefs={"abort_early": False})
     bad = [r["id"] for r in res.violations().collect()]
     assert bad == [3]
+
+
+def test_alternatives_empty_fails_present_values(spark):
+    """Reference: 'fails when no alternatives are provided' — a bare
+    alternatives() rejects every present value with alternatives.base;
+    null/undefined still passes (test/types/alternatives.js:19-39)."""
+    run_cases(spark, joi.alternatives(), "string", [
+        ("present", "a", [("alternatives.base",
+            '"v" does not match any of the allowed types')]),
+        ("absent", None, []),
+    ])
