@@ -267,3 +267,30 @@ def test_cut_spans_matches_python_oracle(prop_spark, texts):
                          r["n_tokens_removed"])
            for r in DD.cut_duplicated_spans(df, n=n).collect()}
     assert got == want
+
+
+# --- shingle-frequency valve subset property -------------------------------
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(
+    ["the", "cat", "sat", "mat", "dog", "ran", "far", "saw", "sun"]),
+    min_size=3, max_size=12), min_size=2, max_size=12),
+    st.integers(1, 4))
+def test_ngram_cap_yields_subset_with_identical_jaccard(prop_spark,
+                                                        docs, cap):
+    """max_shingle_freq prunes CANDIDATE GENERATION only: every pair
+    the capped run reports must appear in the uncapped run with the
+    IDENTICAL jaccard (sizes stay unpruned), and every uncapped pair
+    all of whose shared shingles are within the cap must survive."""
+    from joi_spark.operators import dedup as DD
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = prop_spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            DD.ngram_jaccard_pairs(df, threshold=0.01,
+                                   max_shingle_freq=None).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              DD.ngram_jaccard_pairs(df, threshold=0.01,
+                                     max_shingle_freq=cap).collect()}
+    for pair, j in capped.items():
+        assert pair in full and full[pair] == j
