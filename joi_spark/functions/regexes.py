@@ -43,14 +43,28 @@ HOSTNAME = (
 )
 
 # ISO 8601 calendar/week/ordinal date+time — reference: lib/common.js:13
+# The reference's single time branch writes seconds as `\2ss` where
+# group 2 is the OPTIONAL minutes separator.  JavaScript resolves a
+# backreference to a group that never participated as the EMPTY
+# string; Java (Spark rlike) and Python fail the branch instead —
+# which silently rejected JS-valid forms like `14.2334,4` (hour +
+# fraction reparsed into seconds with no minutes).  The time section
+# below splits that one branch into explicit minutes-present /
+# minutes-absent / 24:00 alternatives so both engines see the JS
+# semantics; group numbering is preserved (group 2 = the minutes
+# separator, still backreferenced within its own branch only).
 ISO_DATE = (
     r"^(?:[-+]\d{2})?(?:\d{4}(?!\d{2}\b))"
     r"(?:(-?)(?:(?:0[1-9]|1[0-2])(?:\1(?:[12]\d|0[1-9]|3[01]))?"
     r"|W(?:[0-4]\d|5[0-2])(?:-?[1-7])?"
     r"|(?:00[1-9]|0[1-9]\d|[12]\d{2}|3(?:[0-5]\d|6[1-6])))"
     r"(?![T]$|[T][\d]+Z$)"
-    r"(?:[T\s](?:(?:(?:[01]\d|2[0-3])(?:(:?)[0-5]\d)?|24:?00)(?:[.,]\d+(?!:))?)"
+    r"(?:[T\s]"
+    r"(?:(?:[01]\d|2[0-3])(:?)[0-5]\d(?:[.,]\d+(?!:))?"
     r"(?:\2[0-5]\d(?:[.,]\d+)?)?"
+    r"|(?:[01]\d|2[0-3])(?:[.,]\d+(?!:))?"
+    r"(?:[0-5]\d(?:[.,]\d+)?)?"
+    r"|24:?00(?:[.,]\d+(?!:))?(?:[0-5]\d(?:[.,]\d+)?)?)"
     r"(?:[Z]|(?:[+-])(?:[01]\d|2[0-3])(?::?[0-5]\d)?)?)?)?$"
 )
 

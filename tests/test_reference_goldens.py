@@ -1081,3 +1081,82 @@ def test_uri_bulk_reference_vectors(spark):
         [(c, _REF_VALID_URIS[int(c[2:])]) for c in wrong_fail]
     assert not wrong_pass, \
         [(c, _REF_INVALID_URIS[int(c[3:])]) for c in wrong_pass]
+
+
+def test_guid_bulk_reference_vectors(spark):
+    """Default guid() vector table (test/types/string.js guid suite,
+    first block: any version, optional braces, optional dashes)."""
+    valid = [
+        "{D1A5279D-B27D-4CD4-A05E-EFDD53D08E8D}",
+        "{B59511BD6A5F4DF09ECF562A108D8A2E}",
+        "69593D62-71EA-4548-85E4-04FC71357423",
+        "677E2553DD4D43B09DA77414DB1EB8EA",
+        "{5ba3bba3-729a-4717-88c1-b7c4b7ba80db}",
+        "{7e9081b59a6d4cc1a8c347f69fb4198d}",
+        "0c74f13f-fa83-4c48-9b33-68921dd72463",
+        "b4b2fb69c6244e5eb0698e0c6ec66618",
+        "{D1A5279D-B27D-0CD4-005E-EFDD53D08E8D}",
+    ]
+    invalid = [
+        "{283B67B2-430F-4E6F-97E6-19041992-C1B0}",
+        "{D1A5279D-B27D-4CD4-A05E-EFDD53D08E8D",
+        "{D1A5279D-B27D-4CD4-A05E-EFDD53D08E8D]",
+        "D1A5279D-B27D-4CD4-A05E-EFDD53D08E8D}",
+        "{D1A5279D:B27D-4CD4-A05E-EFDD53D08E8D}",
+        "{D1A5279D-B27D:4CD4-A05E-EFDD53D08E8D}",
+        "{D1A5279D-B27D-4CD4:A05E-EFDD53D08E8D}",
+        "{D1A5279D-B27D-4CD4-A05E:EFDD53D08E8D}",
+    ]
+    rows = ([(f"ok{i}", v) for i, v in enumerate(valid)]
+            + [(f"bad{i}", v) for i, v in enumerate(invalid)])
+    df = spark.createDataFrame(rows, "case_id string, v string")
+    res = joi.validate(df, joi.object({"v": joi.string().guid()}),
+                       order_by=["case_id"],
+                       prefs={"abort_early": False})
+    failed = {r["case_id"] for r in res.violations().collect()}
+    assert not [c for c in failed if c.startswith("ok")]
+    assert sorted(failed) == sorted(f"bad{i}" for i in range(len(invalid)))
+
+
+def test_isodate_bulk_reference_vectors(spark):
+    """Default isoDate() vector table (test/types/string.js:6771-6930,
+    the 'validates isoDate' block): expanded years, week/ordinal
+    dates, fractional hours, T24:00, space separator."""
+    valid = [
+        "+002013-06-07T14:21:46.295Z", "-002013-06-07T14:21:46.295Z",
+        "2013-06-07T14:21:46.295Z", "2013-06-07T14:21:46.295+07:00",
+        "2013-06-07T14:21:46.295-07:00", "2013-06-07T14:21:46Z",
+        "2013-06-07T14:21:46+07:00", "2013-06-07T14:21:46-07:00",
+        "2013-06-07T14:21Z", "2013-06-07T14:21+07:00",
+        "2013-06-07T14:21-07:00", "2013-06-07", "2013-06-07T14:21",
+        "2013-06-07T14.2334,4", "2013-06-07T24:00",
+        "2013-06-07 142146.295", "2013-06-07 1421,44",
+        "2013-W23", "2013-W23-1", "2013-W231", "2013-W23-1T14:21",
+        "2013-W23-1T14:21:46+07:00", "2013-W23-1T14:21:46-07:00",
+        "2013-184",
+    ]
+    invalid = [
+        "002013-06-07T14:21:46.295Z", "+2013-06-07T14:21:46.295Z",
+        "-2013-06-07T14:21:46.295Z", "2013-06-07T14:21:46.295Z0",
+        "2013-06-07T14:21:46.295+07:000", "2013-06-07T14:21:46Z0",
+        "2013-06-07T14:21:46+07:000", "2013-06-07T14:21+07:000",
+        "2013-06-07T14:21Z+7:00", "2013-06-07T", "1-1-2013",
+        "2013-06-07T14,23:34", "2013-06-07T24", "2013-06-07T24:21",
+        "2013-06-07 146946.295", "2013-W2311", "2013-M231",
+        "2013-W23-1T14:21:", "2013-W23-1T14:21:46+07:000", "2013-1841",
+    ]
+    rows = ([(f"ok{i:02d}", v) for i, v in enumerate(valid)]
+            + [(f"bad{i:02d}", v) for i, v in enumerate(invalid)])
+    df = spark.createDataFrame(rows, "case_id string, v string")
+    res = joi.validate(df, joi.object({"v": joi.string().isoDate()}),
+                       order_by=["case_id"],
+                       prefs={"abort_early": False, "convert": False})
+    failed = {r["case_id"] for r in res.violations().collect()}
+    wrong_fail = sorted(c for c in failed if c.startswith("ok"))
+    wrong_pass = sorted(
+        c for c in (f"bad{i:02d}" for i in range(len(invalid)))
+        if c not in failed)
+    assert not wrong_fail, \
+        [(c, valid[int(c[2:])]) for c in wrong_fail]
+    assert not wrong_pass, \
+        [(c, invalid[int(c[3:])]) for c in wrong_pass]
