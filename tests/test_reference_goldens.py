@@ -1160,3 +1160,30 @@ def test_isodate_bulk_reference_vectors(spark):
         [(c, valid[int(c[2:])]) for c in wrong_fail]
     assert not wrong_pass, \
         [(c, invalid[int(c[3:])]) for c in wrong_pass]
+
+
+def test_datauri_bulk_reference_vectors(spark):
+    """Default dataUri() vector table (test/types/string.js:10072-)."""
+    png = ("iVBORw0KGgoAAAANSUhEUgAAACAAAAAgCAIAAAD8GO2jAABJRU5ErkJggg==")
+    valid = [
+        f"data:image/png;base64,{png}",
+        f"data:image/png;{png}",
+        "data:image/png;base64,YW55IGNhcm5hbCBwbGVhc3VyZS4=",
+        "data:image/png;charset=utf-8,=YW55IGNhcm5hbCBwbGVhc3VyZS",
+        "data:text/x-script.python;charset=utf-8,=YW55IGNhcm5hbCBwbGVhc3VyZS",
+    ]
+    invalid = [
+        f"ata:image/png;base64,{png}",
+        f"base64,{png}",
+        f"data:base64,{png}",
+        "data:image/png;base64,=YW55IGNhcm5hbCBwbGVhc3VyZS4",
+    ]
+    rows = ([(f"ok{i}", v) for i, v in enumerate(valid)]
+            + [(f"bad{i}", v) for i, v in enumerate(invalid)])
+    df = spark.createDataFrame(rows, "case_id string, v string")
+    res = joi.validate(df, joi.object({"v": joi.string().dataUri()}),
+                       order_by=["case_id"],
+                       prefs={"abort_early": False})
+    failed = {r["case_id"] for r in res.violations().collect()}
+    assert not [c for c in failed if c.startswith("ok")], sorted(failed)
+    assert sorted(failed) == sorted(f"bad{i}" for i in range(len(invalid)))
