@@ -1187,3 +1187,37 @@ def test_datauri_bulk_reference_vectors(spark):
     failed = {r["case_id"] for r in res.violations().collect()}
     assert not [c for c in failed if c.startswith("ok")], sorted(failed)
     assert sorted(failed) == sorted(f"bad{i}" for i in range(len(invalid)))
+
+
+def test_normalize_reference_forms(spark):
+    """The reference's normalize() suite (test/types/string.js
+    describe('normalize'), Unicode singleton figures): each of the
+    four forms rejects the un-normalized original under convert:False
+    with the exact message, converts it in convert mode, and the
+    invalid form name throws at schema build."""
+    original = "\u03d3 \u212b"
+    forms = {
+        "NFC": "\u03d3 \u00c5",
+        "NFD": "\u03d2\u0301 A\u030a",
+        "NFKC": "\u038e \u00c5",
+        "NFKD": "\u03a5\u0301 A\u030a",
+    }
+    df = spark.createDataFrame([(1, original)], "id bigint, v string")
+    for form, want in forms.items():
+        schema = joi.object({"v": joi.string().normalize(form)})
+        res = joi.validate(df, schema, order_by=["id"],
+                           prefs={"convert": False})
+        rows = res.violations().collect()
+        assert [(r["code"], r["message"]) for r in rows] == \
+            [("string.normalize",
+              f'"v" must be unicode normalized in the {form} form')]
+        # already-normalized input passes
+        ok = spark.createDataFrame([(1, want)], "id bigint, v string")
+        assert joi.validate(ok, schema,
+                            prefs={"convert": False}).is_valid()
+        # convert mode normalizes
+        conv = joi.validate(df, schema).value.collect()[0]["v"]
+        assert conv == want, (form, conv, want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="invalid normalization form"):
+        joi.string().normalize("NFCD")
