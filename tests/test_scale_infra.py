@@ -253,3 +253,33 @@ def test_bench_fixture_stays_clean_past_a_million_convs(spark):
     res = joi.validate(df, B.transcript_schema(),
                        prefs={"abort_early": False})
     assert res.violations().count() == 0
+
+
+def test_query_outputs_stable_under_shuffle_partitioning(spark):
+    """Canonical outputs must not depend on the shuffle partition
+    count (tie-breaks, heap merges, and hash-aggregate orders all
+    change with partitioning — the 100 TB failure mode is a rank
+    column that silently reshuffles).  Representative order-sensitive
+    queries run under 7 vs 32 shuffle partitions and must agree
+    row-for-row."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    qs = em.queries()
+    sf = "/root/testdata/sf0.001"
+    names = ["weighted_topk", "vocab_topk", "tfidf_terms",
+             "stratified_sample", "cosine_topk", "dedup_clusters"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = {}
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            for n in names:
+                df = qs[n](spark, sf)
+                rows = sorted(tuple(r) for r in df.collect())
+                outs.setdefault(n, []).append(rows)
+        for n, (a, b) in outs.items():
+            assert a == b, f"{n} output depends on shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
