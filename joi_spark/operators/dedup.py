@@ -738,10 +738,20 @@ def _write_index_art(df: DataFrame, path: str, art: str, *,
 
 def _read_index_art(spark: SparkSession, path: str, art: str) -> DataFrame:
     """Catalog (bucketed) read when the table entry survives, plain
-    parquet fallback otherwise - same rows either way."""
+    parquet fallback otherwise - same rows either way.  The fallback
+    WARNS: it silently re-introduces the index-side shuffle the
+    bucketed layout exists to avoid, which at 100 TB is the
+    difference between a batch probe and a full-index exchange."""
     name = _index_table(path, art)
     if spark.catalog.tableExists(name):
         return spark.table(name)
+    import warnings
+    warnings.warn(
+        f"minhash index catalog entry '{name}' missing; reading "
+        f"{path}/{art} as plain parquet — joins against this artifact "
+        f"will shuffle the index side (rebuild via build_minhash_index "
+        f"or recreate the bucketed table entry to restore the "
+        f"shuffle-free plan)", stacklevel=2)
     return spark.read.parquet(f"{path}/{art}")
 
 
