@@ -1221,3 +1221,36 @@ def test_normalize_reference_forms(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="invalid normalization form"):
         joi.string().normalize("NFCD")
+
+
+def test_number_string_coercion_bulk_vectors(spark):
+    """The reference's full 'can accept string numbers' table
+    (test/types/number.js:1198-1262): signs, leading zeros, exponent
+    forms, bare-dot decimals, surrounding whitespace; converted
+    values must match exactly."""
+    valid = [
+        ("1", 1.0), ("100", 100.0), ("+100", 100.0), ("+00100", 100.0),
+        ("1e3", 1000.0), ("1e003", 1000.0), ("1e-003", 0.001),
+        ("-1e+3", -1000.0), ("+1e-3", 0.001), ("1.0000", 1.0),
+        ("1.10000", 1.1), ("1.1e4", 11000.0), ("1.100e4", 11000.0),
+        ("100e3", 100000.0), ("-00100e3", -100000.0),
+        ("-00100e-003", -0.1), ("-001231.0133210e003", -1231013.321),
+        ("+001231.0133210e003", 1231013.321),
+        ("0.00000095", 0.00000095), (".5", 0.5),
+        (" 2", 2.0), ("\t\r43", 43.0), ("43 ", 43.0),
+    ]
+    invalid = ["1 some text", "\t\r", " ", ""]
+    rows = ([(f"ok{i:02d}", v) for i, (v, _) in enumerate(valid)]
+            + [(f"bad{i}", v) for i, v in enumerate(invalid)])
+    df = spark.createDataFrame(rows, "case_id string, v string")
+    schema = joi.object({"v": joi.number()})
+    res = joi.validate(df, schema, order_by=["case_id"],
+                       prefs={"abort_early": False})
+    failed = {r["case_id"] for r in res.violations().collect()}
+    wrong_fail = sorted(c for c in failed if c.startswith("ok"))
+    assert not wrong_fail, \
+        [(c, valid[int(c[2:])][0]) for c in wrong_fail]
+    assert sorted(failed) == sorted(f"bad{i}" for i in range(len(invalid)))
+    got = {r["case_id"]: r["v"] for r in res.value.collect()}
+    for i, (src, want) in enumerate(valid):
+        assert got[f"ok{i:02d}"] == want, (src, got[f"ok{i:02d}"], want)
