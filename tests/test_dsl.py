@@ -333,3 +333,20 @@ def test_schema_prefs_validates_keys(spark):
           .prefs({"errors": {"escape_html": True}})
     assert s2._preferences["errors"] == {"wrap_arrays": False,
                                          "escape_html": True}
+
+
+def test_manifest_round_trip_alternatives_and_string_options(spark):
+    """describe()/build() round-trip for the round-5-touched surfaces:
+    bare-base alternatives (types classifier), normalize forms, and
+    ip version/cidr options — hash-stable and re-describable."""
+    from joi_spark.dsl.manifest import build, manifest_hash
+    import joi_spark as joi
+    s = joi.object({
+        "a": joi.alternatives(joi.number(), joi.boolean()),
+        "b": joi.string().normalize("NFKD"),
+        "c": joi.string().ip(version="ipv4", cidr="required"),
+    })
+    d = s.describe()
+    r = build(d)
+    assert manifest_hash(r) == manifest_hash(s)
+    assert r.describe() == d
