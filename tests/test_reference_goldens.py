@@ -1254,3 +1254,29 @@ def test_number_string_coercion_bulk_vectors(spark):
     got = {r["case_id"]: r["v"] for r in res.value.collect()}
     for i, (src, want) in enumerate(valid):
         assert got[f"ok{i:02d}"] == want, (src, got[f"ok{i:02d}"], want)
+
+
+def test_array_string_coercion_reference_vectors(spark):
+    """The reference's array() string-coercion cases (test/types/
+    array.js:31-75): JSON arrays (with arbitrary surrounding/interior
+    whitespace) convert; JSON objects and truncated arrays are
+    array.base.  Element type note: the engine parses to
+    array<string> (column element type is unknowable pre-scan), so
+    values compare as strings."""
+    rows = [
+        ("a", "[1,2,3]"),
+        ("b", " \n\r\t[ \n\r\t1 \n\r\t, \n\r\t2,3] \n\r\t"),
+        ("c", '{ "something": false }'),
+        ("d", " \n\r\t[ \n\r\t1 \n\r\t, \n\r\t2,3 \n\r\t"),
+    ]
+    df = spark.createDataFrame(rows, "case_id string, v string")
+    schema = joi.object({"v": joi.array()})
+    res = joi.validate(df, schema, order_by=["case_id"],
+                       prefs={"abort_early": False})
+    got = {r["case_id"]: (r["code"], r["message"])
+           for r in res.violations().collect()}
+    assert set(got) == {"c", "d"}
+    assert got["c"] == ("array.base", '"v" must be an array')
+    vals = {r["case_id"]: r["v"] for r in res.value.collect()}
+    assert vals["a"] == ["1", "2", "3"]
+    assert vals["b"] == ["1", "2", "3"]
