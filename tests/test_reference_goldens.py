@@ -1280,3 +1280,21 @@ def test_array_string_coercion_reference_vectors(spark):
     vals = {r["case_id"]: r["v"] for r in res.value.collect()}
     assert vals["a"] == ["1", "2", "3"]
     assert vals["b"] == ["1", "2", "3"]
+
+
+def test_empty_voids_after_trim(spark):
+    """Reference 'should void values with trim' (test/base.js): trim
+    runs BEFORE empty matching, so whitespace-only values void to
+    null under trim() but survive under trim(false)."""
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, " "), (4, "       ")],
+        "id bigint, v string")
+    s = joi.object({"v": joi.string().empty("").trim()})
+    res = joi.validate(df, s, order_by=["id"])
+    assert res.is_valid()
+    assert {r["id"]: r["v"] for r in res.value.collect()} == \
+        {1: "abc", 2: None, 3: None, 4: None}
+    s2 = joi.object({"v": joi.string().empty("").trim(False)})
+    assert {r["id"]: r["v"] for r in
+            joi.validate(df, s2, order_by=["id"]).value.collect()} == \
+        {1: "abc", 2: None, 3: " ", 4: "       "}
